@@ -109,13 +109,14 @@ def brdf(albedo, metallic, roughness, normal, view_dir, light_dir):
     n_dot_v = jnp.maximum((normal * view_dir).sum(-1), 0.0)
     n_dot_h = jnp.maximum((normal * half).sum(-1), 0.0)
 
-    f0 = compute_f0(albedo, metallic)
+    metallic = jnp.asarray(metallic)
+    f0 = compute_f0(albedo, metallic[..., None])
     f = fresnel_schlick(n_dot_l[..., None], f0)
     d = distribution_ggx(n_dot_h, roughness)
     k = (roughness + 1.0) ** 2 / 8.0
     g = geometry_smith(n_dot_l, n_dot_v, k)
     ks = f
-    kd = (1.0 - f) * (1.0 - jnp.asarray(metallic)[..., None])
+    kd = (1.0 - f) * (1.0 - metallic[..., None])
     spec = ks * (d * g / jnp.maximum(4.0 * n_dot_l * n_dot_v, 1e-4))[..., None]
     return kd * albedo * INV_PI + spec
 

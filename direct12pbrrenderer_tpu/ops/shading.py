@@ -1,0 +1,167 @@
+"""Deferred shading pass: SH ambient diffuse + split-sum specular + clustered
+point lights + emission, plus the deferred skybox.
+
+Mirrors `deferred_shading.hlsl` exactly, including its quirks:
+* the hardcoded directional light is *computed but never added* to the final
+  sum (deferred_shading.hlsl:144-156 vs :191) — we skip computing it;
+* ambient occlusion is read from GBufferC but never applied;
+* final = env_diffuse + env_specular + point_lights + emission.
+
+World position is reconstructed from ndc depth + the camera ray through the
+pixel (deferred_shading.hlsl:72-121); the stencil sky mask becomes the
+coverage mask from the rasterizer, and the skybox pass (skybox.hlsl) reduces
+to sampling the cubemap along the view ray wherever no geometry covered the
+pixel (the far-plane-scaled sphere passes the depth test exactly there).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MAX_LIGHTS_PER_CLUSTER, PREFILTER_ENVMAP_MIP_LEVELS
+from . import clustered, common
+
+
+def view_space_depth(ndc_depth, near, far):
+    """ndc z [0,1] -> view z [near, far] (deferred_shading.hlsl:76-79)."""
+    return near * far / (far - ndc_depth * (far - near))
+
+
+def camera_rays(width, height, inv_view, fov, ratio, near):
+    """Per-pixel world-space camera->near-plane vectors.
+
+    Generalizes the reference's triangle-corner interpolation trick
+    (deferred_shading.hlsl:95-121): camera_vec is linear in uv, so evaluate
+    it directly per pixel: ((u-0.5)*w, (0.5-v)*h, near) rotated to world.
+    """
+    near_h = 2.0 * near * jnp.tan(fov / 2.0)
+    near_w = near_h * ratio
+    v, u = jnp.meshgrid(
+        (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
+        (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
+        indexing="ij",
+    )
+    cam = jnp.stack(
+        [
+            (u - 0.5) * near_w,
+            (0.5 - v) * near_h,
+            jnp.full_like(u, near),
+        ],
+        -1,
+    )
+    rot = inv_view[:3, :3]
+    return jnp.einsum("ij,hwj->hwi", rot, cam, precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "fov", "ratio", "near", "far")
+)
+def deferred_shade(
+    gb_albedo_emission,   # (H, W, 4)
+    gb_normal_oct,        # (H, W, 2)
+    gb_rough_metal_ao,    # (H, W, 3)
+    depth,                # (H, W) ndc z
+    mask,                 # (H, W) bool coverage
+    sh_pack,              # (7, 4) SkyBoxSH
+    brdf_lut,             # (S, S, 2)
+    prefiltered,          # tuple of (6, s_m, s_m, 3), 5 mips
+    skybox_mip0,          # (6, s, s, 3) for the background
+    cluster_lists,        # (C, 32) int32
+    light_pos, light_color, light_intensity, light_attenuation,  # packed lights
+    view, inv_view, camera_pos,
+    fov, ratio, near, far,
+    width: int,
+    height: int,
+):
+    albedo = gb_albedo_emission[..., :3]
+    emission = gb_albedo_emission[..., 3]
+    normal = common.decode_octahedron(gb_normal_oct)
+    roughness = gb_rough_metal_ao[..., 0]
+    metallic = gb_rough_metal_ao[..., 1]
+    # ao = gb_rough_metal_ao[..., 2]  # sampled but unused — reference quirk
+
+    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near)
+    z_view = view_space_depth(depth, near, far)
+    position = camera_pos[None, None, :] + cam_vec * (z_view / near)[..., None]
+    view_dir = camera_pos[None, None, :] - position
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-20
+    )
+
+    # --- environment diffuse: SH polynomial (deferred_shading.hlsl:23-54) ---
+    n = normal
+    a4 = jnp.concatenate([n, jnp.ones_like(n[..., :1])], -1)
+    b4 = jnp.stack(
+        [n[..., 0] * n[..., 1], n[..., 1] * n[..., 2], n[..., 2] * n[..., 2],
+         n[..., 2] * n[..., 0]], -1,
+    )
+    c1 = n[..., 0] * n[..., 0] - n[..., 1] * n[..., 1]
+    hp = jax.lax.Precision.HIGHEST
+    l0l1 = jnp.stack(
+        [jnp.dot(a4, sh_pack[0], precision=hp), jnp.dot(a4, sh_pack[2], precision=hp),
+         jnp.dot(a4, sh_pack[4], precision=hp)], -1)
+    l2 = jnp.stack(
+        [jnp.dot(b4, sh_pack[1], precision=hp), jnp.dot(b4, sh_pack[3], precision=hp),
+         jnp.dot(b4, sh_pack[5], precision=hp)], -1)
+    l2 = l2 + sh_pack[6, :3] * c1[..., None]
+    irradiance = l0l1 + l2
+    kd = albedo * (1.0 - metallic[..., None]) * common.INV_PI
+    env_diffuse = kd * irradiance
+
+    # --- environment specular: split-sum (deferred_shading.hlsl:56-70) -----
+    n_dot_v = jnp.maximum((normal * view_dir).sum(-1), 0.0)
+    refl = 2.0 * (normal * view_dir).sum(-1, keepdims=True) * normal - view_dir
+    refl = refl / jnp.maximum(jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-20)
+    env_irr = common.sample_cubemap_trilinear(
+        list(prefiltered), refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
+    )[..., :3]
+    env_brdf = common.sample_texture2d_bilinear(
+        brdf_lut, roughness, n_dot_v, wrap=False
+    )
+    f0 = common.compute_f0(albedo, metallic[..., None])
+    env_specular = env_irr * (f0 * env_brdf[..., 0:1] + env_brdf[..., 1:2])
+
+    # --- clustered point lights (deferred_shading.hlsl:158-186) ------------
+    u = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
+    v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+    cidx = clustered.cluster_index_image(
+        jnp.broadcast_to(u, depth.shape), jnp.broadcast_to(v, depth.shape),
+        z_view, near, far,
+    )
+    lights = cluster_lists[cidx]  # (H, W, 32)
+    lvalid = lights >= 0
+    lidx = jnp.maximum(lights, 0)
+
+    lpos = light_pos[lidx]            # (H, W, 32, 3)
+    ldir = lpos - position[..., None, :]
+    dist = jnp.linalg.norm(ldir, axis=-1)
+    ldir = ldir / jnp.maximum(dist[..., None], 1e-20)
+    n_dot_l = jnp.maximum((normal[..., None, :] * ldir).sum(-1), 0.0)
+
+    att = light_attenuation[lidx]     # (H, W, 32, 4): radius, kc, kl, kq
+    attenuation = 1.0 / jnp.maximum(
+        att[..., 1] + att[..., 2] * dist + att[..., 3] * dist * dist, common.EPSILON
+    )
+    f = common.brdf(
+        albedo[..., None, :],
+        metallic[..., None],
+        roughness[..., None],
+        normal[..., None, :],
+        view_dir[..., None, :],
+        ldir,
+    )
+    radiance = light_color[lidx] * (
+        light_intensity[lidx] * attenuation * n_dot_l
+    )[..., None]
+    point_light = jnp.where(lvalid[..., None], f * radiance, 0.0).sum(-2)
+
+    emission_lum = albedo * emission[..., None]
+    lit = env_diffuse + env_specular + point_light + emission_lum
+
+    # --- skybox (skybox.hlsl): background pixels sample the cubemap --------
+    ray = cam_vec / jnp.maximum(jnp.linalg.norm(cam_vec, axis=-1, keepdims=True), 1e-20)
+    sky = common.sample_cubemap_bilinear(skybox_mip0, ray)[..., :3]
+    return jnp.where(mask[..., None], lit, sky)

@@ -1,0 +1,349 @@
+"""DeferredRenderPipeline: the full frame as one jit-compiled function.
+
+The TPU analog of `DeferredPipeline.{h,cpp}` + `RenderScheduler.cpp`: ten
+passes (PreFilterEnvMap, PrecomputeBRDF, Clustered, GBuffer, DeferredShading,
+Skybox, Bloom, AutoExposure, ToneMapping, Present) declared against the
+render graph, which orders them exactly like FGExecutionParser does from
+their read/write sets — including the subtle consequence that AutoExposure
+measures the post-bloom image (Bloom re-writes DeferredShadingRT, so every
+reader of that RT sorts after it).
+
+The two precompute passes run once and latch (the mReady flag,
+DeferredPipeline.cpp:77-136) as cached device arrays. Everything per-frame —
+vertex transform, binning, raster, G-buffer shade, clustered light culling,
+deferred shading, sky, bloom, exposure, tonemap — traces into a single XLA
+program; the average-luminance EMA is threaded as an explicit carry.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    BRDF_LUT_SIZE,
+    PREFILTER_ENVMAP_MIP_LEVELS,
+    PREFILTER_ENVMAP_SIZE,
+    RenderConfig,
+)
+from ..graph import frame_graph as fg
+from ..ops import bloom as bloom_ops
+from ..ops import clustered, common, gbuffer, ibl, postprocess, raster, shading
+from ..scene.camera import Camera
+from ..scene.scene import Scene
+from ..utils import sh as sh_mod
+from .scene_pack import PackedScene, pack_scene
+
+
+@dataclass
+class FrameStats:
+    visible_instances: int
+    total_instances: int
+    visible_lights: int
+    bin_overflow: int = 0
+
+
+class DeferredRenderPipeline:
+    def __init__(
+        self,
+        scene: Scene,
+        config: RenderConfig | None = None,
+        tile_h: int = 60,
+        tile_w: int = 160,
+        bin_cap: int = 1024,
+        atlas_max_dim: int | None = 1024,
+        prefilter_size: int | None = None,
+        brdf_lut_size: int = BRDF_LUT_SIZE,
+    ):
+        self.config = config or RenderConfig()
+        cfg = self.config
+        if cfg.width % tile_w or cfg.height % tile_h:
+            raise ValueError(
+                f"resolution {cfg.width}x{cfg.height} not divisible by tile "
+                f"{tile_w}x{tile_h}"
+            )
+        self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
+        self.scene = scene
+        self.packed: PackedScene = pack_scene(scene, cfg, atlas_max_dim)
+
+        # ---- precompute passes (once, latched) ----------------------------
+        self.brdf_lut = ibl.brdf_lut(size=brdf_lut_size)
+        if scene.skybox is not None and scene.skybox.cubemap is not None:
+            cube = scene.skybox.cubemap
+            base = jnp.asarray(
+                np.stack([f.mip_array_rgba(0)[..., :3] for f in cube.faces]).astype(
+                    np.float32
+                )
+            )
+            n_src = int(np.log2(base.shape[1])) + 1
+            src = ibl.build_cubemap_mips(base, n_src)
+            size = prefilter_size or min(PREFILTER_ENVMAP_SIZE, base.shape[1])
+            self.prefiltered = tuple(
+                ibl.prefilter_env_map(tuple(src), out_size=size)
+            )
+            self.skybox_mip0 = base
+            self.sh_pack = jnp.asarray(cube.sh.as_array())
+        else:
+            size = prefilter_size or 64
+            zeros = [
+                jnp.zeros((6, size >> m, size >> m, 3), jnp.float32)
+                for m in range(PREFILTER_ENVMAP_MIP_LEVELS)
+            ]
+            self.prefiltered = tuple(zeros)
+            self.skybox_mip0 = jnp.zeros((6, 8, 8, 3), jnp.float32)
+            self.sh_pack = jnp.zeros((7, 4), jnp.float32)
+
+        self.cluster_bounds = jnp.asarray(
+            clustered.cluster_bounds(cfg.fov, cfg.ratio, cfg.near, cfg.far)
+        )
+
+        # static device buffers
+        p = self.packed
+        self.buffers = {
+            "positions": jnp.asarray(p.positions),
+            "normals": jnp.asarray(p.normals),
+            "tangents": jnp.asarray(p.tangents),
+            "uvs": jnp.asarray(p.uvs),
+            "vtx_instance": jnp.asarray(p.vtx_instance),
+            "tris": jnp.asarray(p.tris),
+            "tri_material": jnp.asarray(p.tri_material),
+            "tri_instance": jnp.asarray(p.tri_instance),
+            "tri_valid_pool": jnp.asarray(p.tri_valid),
+            "mat_albedo": jnp.asarray(p.materials.albedo),
+            "mat_emission": jnp.asarray(p.materials.emission),
+            "mat_roughness": jnp.asarray(p.materials.roughness),
+            "mat_metallic": jnp.asarray(p.materials.metallic),
+            "mat_use": jnp.asarray(p.materials.use_map),
+            "mat_tex": jnp.asarray(p.materials.tex_ids),
+            "atlas": gbuffer.AtlasDevice(
+                jnp.asarray(p.atlas.data),
+                jnp.asarray(p.atlas.mip_offsets.astype(np.int32)),
+                jnp.asarray(p.atlas.base_size),
+                jnp.asarray(p.atlas.n_mips),
+                jnp.asarray(p.atlas.srgb),
+            ),
+            "light_pos": jnp.asarray(p.light_pos),
+            "light_color": jnp.asarray(p.light_color),
+            "light_intensity": jnp.asarray(p.light_intensity),
+            "light_attenuation": jnp.asarray(p.light_attenuation),
+            # precompute products passed as arguments (not jit constants) so
+            # they live once in HBM instead of being baked into the executable
+            "ClusterBounds": self.cluster_bounds,
+            "SkyBoxSH": self.sh_pack,
+            "PrecomputeBRDF": self.brdf_lut,
+            "PrefilterEnvMap": self.prefiltered,
+            "SkyBoxTexture": self.skybox_mip0,
+        }
+
+        self.graph = self._build_graph()
+        self.avg_luminance = jnp.asarray(0.0, jnp.float32)
+        self._frame_jit = jax.jit(self._frame)
+        self.last_stats: FrameStats | None = None
+
+    # ------------------------------------------------------------------
+    def _build_graph(self) -> fg.CompiledGraph:
+        cfg = self.config
+        w, h = cfg.width, cfg.height
+
+        def clustered_pass(env):
+            lists, counts = clustered.cull_lights_to_clusters(
+                env["ClusterBounds"],
+                env["View"],
+                env["light_pos"],
+                env["light_attenuation"][:, 0],
+                env["light_intensity"],
+                env["LightValid"],
+            )
+            return {"FrustumCluster": lists, "PointLights": counts}
+
+        def gbuffer_pass(env):
+            model = env["ModelMats"]
+            clip = raster.vertex_transform(
+                env["positions"], env["vtx_instance"], model, env["ViewProj"]
+            )
+            nrm_ws = raster.transform_directions(
+                env["normals"], env["vtx_instance"], env["NormalMats"]
+            )
+            tan_ws = raster.transform_directions(
+                env["tangents"], env["vtx_instance"], env["NormalMats"]
+            )
+            tri_ok = env["tri_valid_pool"] & env["InstanceVisible"][env["tri_instance"]]
+            setup = raster.setup_triangles(clip, env["tris"], tri_ok, w, h)
+            bins = raster.bin_triangles(
+                setup, h // self.tile_h, w // self.tile_w,
+                self.tile_h, self.tile_w, self.bin_cap,
+            )
+            tri_id, depth = raster.rasterize(
+                setup, bins, w, h, self.tile_h, self.tile_w
+            )
+            gb = gbuffer.gbuffer_shade(
+                tri_id, depth, setup, env["tris"], nrm_ws, tan_ws, env["uvs"],
+                env["tri_material"],
+                env["mat_albedo"], env["mat_emission"], env["mat_roughness"],
+                env["mat_metallic"], env["mat_use"], env["mat_tex"],
+                env["atlas"], w, h,
+            )
+            return {
+                "GBufferA": gb.albedo_emission,
+                "GBufferB": gb.normal_oct,
+                "GBufferC": gb.rough_metal_ao,
+                "GBufferDepthStencil": (gb.depth, gb.mask),
+                "BinCounts": bins.counts,
+            }
+
+        def deferred_pass(env):
+            depth, mask = env["GBufferDepthStencil"]
+            rt = shading.deferred_shade(
+                env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask,
+                env["SkyBoxSH"], env["PrecomputeBRDF"], env["PrefilterEnvMap"],
+                env["SkyBoxTexture"], env["FrustumCluster"],
+                env["light_pos"], env["light_color"], env["light_intensity"],
+                env["light_attenuation"],
+                env["View"], env["InvView"], env["CameraPos"],
+                cfg.fov, cfg.ratio, cfg.near, cfg.far, w, h,
+            )
+            return {"DeferredShadingRT": rt}
+
+        def skybox_pass(env):
+            # composited inside deferred_shade (sky where stencil==0); the
+            # pass exists for graph parity and re-publishes the RT
+            return {"DeferredShadingRT": env["DeferredShadingRT"]}
+
+        def bloom_pass(env):
+            if not cfg.enable_bloom:
+                return {"DeferredShadingRT": env["DeferredShadingRT"]}
+            return {"DeferredShadingRT": bloom_ops.bloom(env["DeferredShadingRT"])}
+
+        def auto_exposure_pass(env):
+            hist = postprocess.luminance_histogram(env["DeferredShadingRT"])
+            if cfg.enable_auto_exposure:
+                avg = postprocess.average_luminance(
+                    hist, float(w * h), env["PrevAverageLuminance"], env["DeltaTime"]
+                )
+            else:
+                avg = jnp.asarray(0.18, jnp.float32)
+            return {"LuminanceHistogram": hist, "AverageLuminance": avg}
+
+        def tone_mapping_pass(env):
+            out = postprocess.tone_map(env["DeferredShadingRT"], env["AverageLuminance"])
+            return {"ToneMappedTexture": out}
+
+        def present_pass(env):
+            rgb8 = (env["ToneMappedTexture"] * 255.0 + 0.5).astype(jnp.uint8)
+            return {"BackBuffer": (rgb8, env["AverageLuminance"], env["BinCounts"])}
+
+        static_reads = tuple(self.buffers.keys())
+        passes = [
+            fg.RenderPass(
+                "Clustered",
+                ("ClusterBounds", "View", "light_pos", "light_attenuation",
+                 "light_intensity", "LightValid"),
+                ("FrustumCluster", "PointLights"),
+                clustered_pass,
+            ),
+            fg.RenderPass(
+                "GBuffer",
+                ("positions", "normals", "tangents", "uvs", "vtx_instance",
+                 "tris", "tri_material", "tri_instance", "tri_valid_pool",
+                 "mat_albedo", "mat_emission", "mat_roughness", "mat_metallic",
+                 "mat_use", "mat_tex", "atlas", "ModelMats", "NormalMats",
+                 "ViewProj", "InstanceVisible"),
+                ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
+                 "BinCounts"),
+                gbuffer_pass,
+            ),
+            fg.RenderPass(
+                "DeferredShading",
+                ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
+                 "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
+                 "FrustumCluster", "light_pos", "light_color", "light_intensity",
+                 "light_attenuation", "View", "InvView", "CameraPos"),
+                ("DeferredShadingRT",),
+                deferred_pass,
+            ),
+            fg.RenderPass("Skybox", (), ("DeferredShadingRT",), skybox_pass),
+            fg.RenderPass(
+                "Bloom", ("DeferredShadingRT",), ("DeferredShadingRT",), bloom_pass
+            ),
+            fg.RenderPass(
+                "AutoExposure",
+                ("DeferredShadingRT", "PrevAverageLuminance", "DeltaTime"),
+                ("LuminanceHistogram", "AverageLuminance"),
+                auto_exposure_pass,
+            ),
+            fg.RenderPass(
+                "ToneMapping",
+                ("DeferredShadingRT", "AverageLuminance"),
+                ("ToneMappedTexture",),
+                tone_mapping_pass,
+            ),
+            fg.RenderPass(
+                "Present",
+                ("ToneMappedTexture", "AverageLuminance", "BinCounts"),
+                ("BackBuffer",),
+                present_pass,
+            ),
+        ]
+        return fg.compile_graph(passes, present="Present")
+
+    # ------------------------------------------------------------------
+    def _frame(
+        self, buffers, model_mats, normal_mats, instance_visible, light_valid,
+        view, inv_view, view_proj, camera_pos, prev_avg_lum, delta_time,
+    ):
+        env = dict(buffers)
+        env.update(
+            ModelMats=model_mats,
+            NormalMats=normal_mats,
+            InstanceVisible=instance_visible,
+            LightValid=light_valid,
+            View=view,
+            InvView=inv_view,
+            ViewProj=view_proj,
+            CameraPos=camera_pos,
+            PrevAverageLuminance=prev_avg_lum,
+            DeltaTime=delta_time,
+        )
+        out = fg.execute(self.graph, env)
+        return out["BackBuffer"]
+
+    # ------------------------------------------------------------------
+    def render(self, camera: Camera, delta_time: float = 1.0 / 60.0):
+        """One frame -> (H, W, 3) uint8 (device array)."""
+        planes = camera.frustum_planes()
+        p = self.packed
+        visible = p.instance_visibility(planes)
+        lights = p.visible_lights(planes)
+
+        inv_models = p.inv_model_mats
+        normal_mats = np.ascontiguousarray(
+            np.transpose(inv_models[:, :3, :3], (0, 2, 1))
+        )
+
+        view = camera.view_matrix()
+        rgb8, avg, bin_counts = self._frame_jit(
+            self.buffers,
+            jnp.asarray(p.model_mats),
+            jnp.asarray(normal_mats),
+            jnp.asarray(visible),
+            jnp.asarray(lights),
+            jnp.asarray(view),
+            jnp.asarray(camera.world_matrix()),
+            jnp.asarray(camera.projection_matrix() @ view),
+            jnp.asarray(camera.position),
+            self.avg_luminance,
+            jnp.asarray(delta_time, jnp.float32),
+        )
+        self.avg_luminance = avg
+        self.last_stats = FrameStats(
+            visible_instances=int(visible.sum()),
+            total_instances=p.instance_count,
+            visible_lights=int(lights.sum()),
+            bin_overflow=int(np.maximum(np.asarray(bin_counts) - self.bin_cap, 0).max())
+            if bin_counts is not None else 0,
+        )
+        return rgb8

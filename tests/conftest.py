@@ -3,10 +3,16 @@ without TPU hardware (the driver separately dry-runs the multi-chip path)."""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when a TPU is attached
+# The environment may pre-import jax with a TPU platform (sitecustomize);
+# env vars alone are too late, so pin the platform through jax.config too.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,111 @@
+"""End-to-end pipeline test on a synthetic in-memory scene."""
+
+import numpy as np
+import pytest
+
+from direct12pbrrenderer_tpu.config import RenderConfig
+from direct12pbrrenderer_tpu.resource import reflection_def  # noqa: F401
+from direct12pbrrenderer_tpu.resource.default_meshes import sphere_mesh
+from direct12pbrrenderer_tpu.resource.resources import (
+    MaterialResource,
+    MeshResource,
+    ModelResource,
+)
+from direct12pbrrenderer_tpu.scene.camera import Camera
+from direct12pbrrenderer_tpu.scene.scene import Scene, SceneLight, SceneModel
+
+
+def build_scene(emissive=False):
+    mesh_res = MeshResource("mem/sphere", "mem/sphere_data")
+    mesh_res.mesh = sphere_mesh(1.0, 16, 12)
+
+    mat = MaterialResource("mem/mat")
+    mat.set_shader("gbuffer.hlsl")
+    mat.set_parameter("Albedo", np.array([0.8, 0.2, 0.2], np.float32))
+    mat.set_parameter("Roughness", 0.4)
+    mat.set_parameter("Metallic", 0.1)
+    if emissive:
+        mat.set_parameter("Emission", 1.0)
+    model = ModelResource("mem/model", mesh_res, [mat])
+
+    scene = Scene("mem/scene")
+    sm = SceneModel("ball")
+    sm.set_model(model)
+    sm.translation = np.array([0, 0, 0], np.float32)
+    sm.update_transform()
+    sm.local_bound_min, sm.local_bound_max = model.bound
+    scene.add_model(sm)
+
+    light = SceneLight("key")
+    light.translation = np.array([2.0, 2.0, -2.0], np.float32)
+    light.update_transform()
+    light.color = np.array([1.0, 1.0, 1.0], np.float32)
+    light.set_intensity(20.0)
+    light.set_radius(2.0)
+    scene.add_light(light)
+    return scene
+
+
+CFG = RenderConfig(
+    width=320, height=240, max_triangles=2048, max_vertices=2048,
+    max_instances=4, max_lights=16,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    return DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+    )
+
+
+@pytest.fixture(scope="module")
+def camera():
+    cam = Camera(CFG.fov, CFG.width, CFG.height, CFG.near, CFG.far)
+    cam.move([0, 0, 4])
+    cam.rotate(0, np.pi, 0)  # look down -z toward the origin
+    return cam
+
+
+def test_renders_lit_sphere(pipeline, camera):
+    img = np.asarray(pipeline.render(camera))
+    assert img.shape == (240, 320, 3) and img.dtype == np.uint8
+    cy, cx = 120, 160
+    sphere_region = img[cy - 55 : cy + 55, cx - 55 : cx + 55]
+    border = img[:10, :10]
+    # lit sphere visible, black sky at the border (no skybox)
+    assert sphere_region.mean() > 5
+    # faint bloom spill is expected at the border; it must stay far dimmer
+    # than the subject
+    assert border.mean() < 6
+    assert sphere_region.mean() > border.mean() * 2
+    # light at world (2,2,-2); the pi-yaw camera mirrors +x to image-left:
+    # the lit crescent must be on the upper-left of the sphere
+    left = img[cy - 30 : cy + 30, cx - 60 : cx - 20].mean()
+    right = img[cy - 30 : cy + 30, cx + 20 : cx + 60].mean()
+    assert left > right * 1.5
+    # red-dominant material where lit
+    lit = img.reshape(-1, 3)[img.reshape(-1, 3).sum(1) > 30]
+    assert lit[:, 0].mean() >= lit[:, 2].mean()
+    stats = pipeline.last_stats
+    assert stats.visible_instances == 1 and stats.visible_lights == 1
+
+
+def test_exposure_adapts_over_frames(pipeline, camera):
+    a0 = float(pipeline.avg_luminance)
+    for _ in range(3):
+        pipeline.render(camera, delta_time=0.5)
+    a1 = float(pipeline.avg_luminance)
+    assert a1 != a0
+    assert a1 > 0
+
+
+def test_camera_behind_culls_everything(pipeline):
+    cam = Camera(CFG.fov, CFG.width, CFG.height, CFG.near, CFG.far)
+    cam.move([0, 0, 4])  # looking +z, sphere is behind
+    img = np.asarray(pipeline.render(cam))
+    assert pipeline.last_stats.visible_instances == 0
+    assert img.max() == 0  # nothing but black sky

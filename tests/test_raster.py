@@ -1,0 +1,115 @@
+"""Rasterizer correctness: coverage, depth resolve, binning, barycentrics."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from direct12pbrrenderer_tpu.ops import raster
+
+
+def make_clip(verts_ndc):
+    """NDC (x right, y up, z [0,1]) -> clip with w=1."""
+    v = np.asarray(verts_ndc, np.float32)
+    return jnp.asarray(np.concatenate([v, np.ones_like(v[:, :1])], axis=1))
+
+
+def run(verts_ndc, tris, w=64, h=64, cap=16, tile=16):
+    vc = make_clip(verts_ndc)
+    tris = jnp.asarray(np.asarray(tris, np.int32))
+    valid = jnp.ones(tris.shape[0], bool)
+    setup = raster.setup_triangles(vc, tris, valid, w, h)
+    bins = raster.bin_triangles(setup, h // tile, w // tile, tile, tile, cap)
+    ids, z = raster.rasterize(setup, bins, w, h, tile, tile, chunk=8)
+    return setup, np.asarray(ids), np.asarray(z)
+
+
+def test_fullscreen_triangle_covers_everything():
+    # the engine's full-screen triangle: (-1,-1) (-1,3) (3,-1) (D3D12Device.cpp:167-179)
+    # winding must be CW in y-down screen space to survive back-face culling
+    _, ids, z = run([[-1, -1, 0.5], [-1, 3, 0.5], [3, -1, 0.5]], [[0, 1, 2]])
+    assert (ids == 0).all()
+    np.testing.assert_allclose(z, 0.5, atol=1e-6)
+
+
+def test_ccw_screen_triangle_is_culled():
+    # reversed winding (CCW on screen) -> back-face culled
+    _, ids, _ = run([[-1, -1, 0.5], [-1, 3, 0.5], [3, -1, 0.5]], [[0, 2, 1]])
+    assert (ids == -1).all()
+
+
+def test_half_screen_coverage_fraction():
+    # right-angled triangle covering the lower-left half of ndc space
+    _, ids, _ = run([[-1, -1, 0.5], [-1, 1, 0.5], [1, -1, 0.5]], [[0, 1, 2]])
+    frac = (ids == 0).mean()
+    assert abs(frac - 0.5) < 0.02
+
+
+def test_depth_test_less_front_wins():
+    verts = [
+        [-1, -1, 0.8], [-1, 3, 0.8], [3, -1, 0.8],   # far, drawn first
+        [-1, -1, 0.2], [-1, 3, 0.2], [3, -1, 0.2],   # near, drawn second
+    ]
+    _, ids, z = run(verts, [[0, 1, 2], [3, 4, 5]])
+    assert (ids == 1).all()
+    np.testing.assert_allclose(z, 0.2, atol=1e-6)
+    # same depth: first drawn wins (LESS, not LESS_EQUAL)
+    _, ids2, _ = run(verts[:3] + verts[:3], [[0, 1, 2], [3, 4, 5]])
+    assert (ids2 == 0).all()
+
+
+def test_perspective_correct_barycentrics():
+    # a quad edge-on in perspective: vertex 0 at w=1, vertex 1 at w=4.
+    v = np.array([[-0.5, -0.5, 0.2, 1.0], [0.5, 0.5, 0.8, 4.0], [0.5, -0.5, 0.5, 2.0]])
+    # scale xy by w so ndc stays put
+    v[:, 0] *= v[:, 3]
+    v[:, 1] *= v[:, 3]
+    v[:, 2] *= v[:, 3]
+    setup = raster.setup_triangles(
+        jnp.asarray(v, jnp.float32), jnp.asarray([[0, 1, 2]], jnp.int32),
+        jnp.ones(1, bool), 64, 64,
+    )
+    assert bool(setup.valid[0])
+    lam, lam_p, inv_w = raster.barycentrics_at(
+        setup, jnp.asarray([0]), jnp.asarray([32.0]), jnp.asarray([32.0])
+    )
+    # affine and perspective barycentrics must differ (w varies) and both sum to 1
+    np.testing.assert_allclose(np.asarray(lam).sum(), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lam_p).sum(), 1.0, atol=1e-5)
+    assert np.abs(np.asarray(lam) - np.asarray(lam_p)).max() > 0.05
+    # perspective weights emphasize the near (w=1) vertex
+    assert np.asarray(lam_p)[0, 0] > np.asarray(lam)[0, 0]
+
+
+def test_binning_caps_and_counts():
+    # 20 identical full-screen triangles, cap 8 -> counts report 20, list keeps 8
+    verts = [[-1, -1, 0.5], [-1, 3, 0.5], [3, -1, 0.5]]
+    tris = [[0, 1, 2]] * 20
+    vc = make_clip(verts)
+    setup = raster.setup_triangles(vc, jnp.asarray(tris, jnp.int32),
+                                   jnp.ones(20, bool), 32, 32)
+    bins = raster.bin_triangles(setup, 2, 2, 16, 16, cap=8)
+    assert (np.asarray(bins.counts) == 20).all()
+    ids = np.asarray(bins.ids)
+    assert (ids >= 0).sum(axis=1).tolist() == [8, 8, 8, 8]
+    # draw order preserved
+    assert ids[0].tolist() == list(range(8))
+
+
+def test_binning_locality():
+    # small triangle in the top-left tile only
+    verts = [[-0.9, 0.9, 0.5], [-0.8, 0.9, 0.5], [-0.9, 0.8, 0.5]]
+    vc = make_clip(verts)
+    setup = raster.setup_triangles(vc, jnp.asarray([[0, 1, 2]], jnp.int32),
+                                   jnp.ones(1, bool), 64, 64)
+    bins = raster.bin_triangles(setup, 4, 4, 16, 16, cap=4)
+    counts = np.asarray(bins.counts).reshape(4, 4)
+    assert counts[0, 0] == 1 and counts.sum() == 1
+
+
+def test_near_plane_triangle_dropped():
+    v = np.array(
+        [[-1, -1, 0.5, 1.0], [-1, 3, 0.5, 1.0], [3, -1, 0.5, -0.5]], np.float32
+    )
+    setup = raster.setup_triangles(
+        jnp.asarray(v), jnp.asarray([[0, 1, 2]], jnp.int32), jnp.ones(1, bool), 32, 32
+    )
+    assert not bool(setup.valid[0])
