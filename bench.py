@@ -1,0 +1,79 @@
+"""Headline benchmark: frames/sec rendering the reference scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the driver-set north star of 60 FPS at 1920x1080 on a Sponza-class
+scene on one TPU v5e chip (BASELINE.json; the reference publishes no numbers
+of its own). vs_baseline = fps / 60.
+
+Usage: python bench.py [--smoke] [--frames N] [--width W --height H]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 60.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--asset-root", default="/root/reference/DeferredRendering")
+    ap.add_argument(
+        "--smoke", action="store_true",
+        help="tiny synthetic scene + small frame (CI / CPU smoke run)",
+    )
+    args = ap.parse_args()
+
+    if args.smoke:
+        import __graft_entry__ as graft
+
+        pipe, cam, _cfg = graft._tiny_pipeline()
+        frames = 4
+    else:
+        from direct12pbrrenderer_tpu.app.app import App, AppConfig
+
+        app = App(
+            AppConfig(
+                asset_root=args.asset_root,
+                width=args.width,
+                height=args.height,
+                frames=args.frames,
+                bin_cap=2048,
+            )
+        )
+        pipe, cam, frames = app.pipeline, app.camera, args.frames
+
+    # warmup / compile (2 frames: first compiles, second confirms steady state)
+    np.asarray(pipe.render(cam, collect_stats=False))
+    np.asarray(pipe.render(cam, collect_stats=False))
+
+    t0 = time.perf_counter()
+    img = None
+    for _ in range(frames):
+        img = pipe.render(cam, 1.0 / 60.0, collect_stats=False)
+    np.asarray(img)  # sync once at the end (frames pipeline asynchronously)
+    elapsed = time.perf_counter() - t0
+
+    fps = frames / elapsed
+    result = {
+        "metric": f"deferred PBR frame rate, reference scene @ {pipe.config.width}x{pipe.config.height}",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -9,21 +9,31 @@ blur_vertical / bloom_upsample_add / bloom_merge):
   for i in 2..0: B[i+1] = UpH(A[i+1]) + UpH(A[i+2]^); A[i+1] = UpV(B[i+1])
   B[0] = UpH(A[1]^); A[0] = UpV(B[0]); out = S + A[0]
 
-Every resampling in the reference is a LinearClamp bilinear fetch at a fixed
-half-integer phase, so the whole chain lowers to pad+slice arithmetic — zero
-gathers, fully fusible by XLA (the groupshared-cache blur kernels become
-shifted adds). The 9-tap weights are blur.hlsli:17.
+TPU formulation: every tap in the reference shaders is a LinearClamp bilinear
+fetch at a whole *output-texel* offset (blur.hlsli: offsets are i*TexelSize of
+the output grid). Bilinear interpolation is linear, so sampling at
+`uv + i*texel` equals element `[x+i]` of the bilinear-resized image — any
+cross-resolution blur therefore factors into (a) one bilinear resize,
+expressed as a small dense interpolation-matrix matmul on the MXU (handles
+the odd mip sizes of e.g. 1080 -> 135 -> 67 exactly), and (b) a same-res
+9-tap separable blur expressed as clamped shifted adds on the VPU. Zero
+gathers anywhere; XLA fuses the shifted adds. Weights: blur.hlsli:17.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import BLOOM_KNEE, BLOOM_STEPS, BLOOM_THRESHOLD, GAUSS_WEIGHTS
 from . import common
 
 _W = jnp.asarray(GAUSS_WEIGHTS, jnp.float32)
 _R = 4
+_HP = jax.lax.Precision.HIGHEST
 
 
 def _shift(img, dy, dx):
@@ -43,59 +53,37 @@ def blur_v(img):
     return sum(_W[i + _R] * _shift(img, i, 0) for i in range(-_R, _R + 1))
 
 
-def _rows_halfavg(img):
-    """0.5*(img[2y+1] + img[2y+2]) with edge clamp -> (h/2, w, c)."""
-    h = img.shape[0]
-    p = jnp.pad(img, ((0, 1), (0, 0), (0, 0)), mode="edge")
-    return 0.5 * (p[1::2][: h // 2] + p[2::2][: h // 2])
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(out_n: int, in_n: int, half_phase: bool) -> np.ndarray:
+    """(out_n, in_n) bilinear interpolation matrix with clamp addressing.
+
+    half_phase=True: positions (o + 0.5) * in/out - 0.5  (texel centers,
+        the blur/upsample uv convention: uv = (x+0.5)*texel).
+    half_phase=False: positions o * in/out - 0.5  (the prefilter convention:
+        uv = xy * texel, bloom_prefilter.hlsl:56)."""
+    o = np.arange(out_n, dtype=np.float64)
+    pos = ((o + 0.5) if half_phase else o) * (in_n / out_n) - 0.5
+    i0 = np.floor(pos)
+    frac = pos - i0
+    m = np.zeros((out_n, in_n), np.float32)
+    lo = np.clip(i0.astype(np.int64), 0, in_n - 1)
+    hi = np.clip(i0.astype(np.int64) + 1, 0, in_n - 1)
+    m[o.astype(np.int64), lo] += (1.0 - frac).astype(np.float32)
+    m[o.astype(np.int64), hi] += frac.astype(np.float32)
+    return m
 
 
-def _cols_halfavg(img):
-    w = img.shape[1]
-    p = jnp.pad(img, ((0, 0), (0, 1), (0, 0)), mode="edge")
-    return 0.5 * (p[:, 1::2][:, : w // 2] + p[:, 2::2][:, : w // 2])
-
-
-def downsample_blur_h(img):
-    """blur_horizontal sampling a 2x-larger input at the half-res uv grid
-    (BloomPass downsample step): vertical 2-row average, then taps at even
-    column offsets with a half-texel phase."""
-    rows = _rows_halfavg(img)  # (h/2, w, c)
-    w_out = img.shape[1] // 2
-    h2 = rows.shape[0]
-    p = jnp.pad(rows, ((0, 0), (2 * _R + 1, 2 * _R + 1), (0, 0)), mode="edge")
-
-    def tap(i):
-        # input columns (2x+1+2i, 2x+2+2i), offset by pad
-        base = 2 * _R + 1 + 1 + 2 * i
-        cols = p[:, base : base + 2 * w_out]
-        return 0.5 * (cols[:, 0::2] + cols[:, 1::2])
-
-    return sum(_W[i + _R] * tap(i) for i in range(-_R, _R + 1))
-
-
-def _upsample2x_h(img, out_w):
-    """Bilinear 2x horizontal upsample at the D3D half-phase:
-    out[2k] = 0.25*in[k-1] + 0.75*in[k]; out[2k+1] = 0.75*in[k] + 0.25*in[k+1]."""
-    p = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    w_in = img.shape[1]
-    even = 0.25 * p[:, 0:w_in] + 0.75 * p[:, 1 : w_in + 1]
-    odd = 0.75 * p[:, 1 : w_in + 1] + 0.25 * p[:, 2 : w_in + 2]
-    out = jnp.stack([even, odd], axis=2).reshape(img.shape[0], 2 * w_in, -1)
-    return out[:, :out_w]
-
-
-def _upsample2x_v(img, out_h):
-    p = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
-    h_in = img.shape[0]
-    even = 0.25 * p[0:h_in] + 0.75 * p[1 : h_in + 1]
-    odd = 0.75 * p[1 : h_in + 1] + 0.25 * p[2 : h_in + 2]
-    out = jnp.stack([even, odd], axis=1).reshape(2 * h_in, img.shape[1], -1)
-    return out[:out_h]
-
-
-def upsample2x(img, out_h, out_w):
-    return _upsample2x_v(_upsample2x_h(img, out_w), out_h)
+def resize_bilinear(img, out_h: int, out_w: int, half_phase: bool = True):
+    """LinearClamp bilinear resize via interpolation-matrix matmuls."""
+    in_h, in_w = img.shape[0], img.shape[1]
+    out = img
+    if out_h != in_h:
+        mh = jnp.asarray(_resize_matrix(out_h, in_h, half_phase))
+        out = jnp.einsum("oi,iwc->owc", mh, out, precision=_HP)
+    if out_w != in_w:
+        mw = jnp.asarray(_resize_matrix(out_w, in_w, half_phase))
+        out = jnp.einsum("oi,hic->hoc", mw, out, precision=_HP)
+    return out
 
 
 def bloom_threshold(color, threshold=BLOOM_THRESHOLD, knee=BLOOM_KNEE):
@@ -109,25 +97,16 @@ def bloom_threshold(color, threshold=BLOOM_THRESHOLD, knee=BLOOM_KNEE):
     return color * contribution
 
 
-def prefilter(img):
-    """bloom_prefilter at half resolution: 5-tap cross of 2x2 corner averages,
-    luma-weighted to suppress fireflies (bloom_prefilter.hlsl:30-53).
-
-    Sample positions: uv = xy * texel (no half offset) -> each tap is the
-    bilinear blend of full-res texels (2x-1..2x, 2y-1..2y); diagonal offsets
-    are ±1 half-res texel = ±2 full-res texels = ±1 in corner-average space.
-    """
-    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
-    p = jnp.pad(img, ((1, 0), (1, 0), (0, 0)), mode="edge")[: img.shape[0] + 1, : img.shape[1] + 1]
-    corners = 0.25 * (
-        p[0:-1:2, 0:-1:2] + p[0:-1:2, 1::2] + p[1::2, 0:-1:2] + p[1::2, 1::2]
-    )[:h2, :w2]
-
+def prefilter(img, out_h: int, out_w: int):
+    """bloom_prefilter at half resolution: 5-tap cross, luma-weighted to
+    suppress fireflies (bloom_prefilter.hlsl:30-53). Taps sit at +-1 output
+    texel diagonals around uv = xy * texel (note: no half-texel offset)."""
+    base = resize_bilinear(img, out_h, out_w, half_phase=False)
     offsets = [(0, 0), (-1, -1), (-1, 1), (1, -1), (1, 1)]
-    total = jnp.zeros_like(corners)
-    weight = jnp.zeros(corners.shape[:2] + (1,), corners.dtype)
+    total = jnp.zeros_like(base)
+    weight = jnp.zeros(base.shape[:2] + (1,), base.dtype)
     for dy, dx in offsets:
-        c = bloom_threshold(_shift(corners, dy, dx))
+        c = bloom_threshold(_shift(base, dy, dx))
         wgt = 1.0 / (common.luminance(c)[..., None] + 1.0)
         total = total + c * wgt
         weight = weight + wgt
@@ -137,17 +116,23 @@ def prefilter(img):
 def bloom(hdr):
     """Full bloom chain; hdr (H, W, 3) -> (H, W, 3) with bloom added."""
     h, w = hdr.shape[0], hdr.shape[1]
-    # downsample: a[m] is the blurred pyramid level at (h>>m, w>>m)
-    a = {1: prefilter(hdr)}
+
+    def mip_size(m):
+        return max(1, h >> m), max(1, w >> m)
+
+    # downsample: a[m] is the blurred pyramid level at mip m
+    a = {1: prefilter(hdr, *mip_size(1))}
     for i in range(BLOOM_STEPS):
         m = i + 1
-        a[m + 1] = blur_v(downsample_blur_h(a[m]))
+        lo_h, lo_w = mip_size(m + 1)
+        down = blur_h(resize_bilinear(a[m], lo_h, lo_w))
+        a[m + 1] = blur_v(down)
     # upsample-add
     for i in range(BLOOM_STEPS - 1, -1, -1):
         m = i + 1
-        hh, ww = h >> m, w >> m
-        up = blur_h(a[m]) + blur_h(upsample2x(a[m + 1], hh, ww))
+        hh, ww = mip_size(m)
+        up = blur_h(a[m]) + blur_h(resize_bilinear(a[m + 1], hh, ww))
         a[m] = blur_v(up)
     # merge at full res
-    full = blur_v(blur_h(upsample2x(a[1], h, w)))
+    full = blur_v(blur_h(resize_bilinear(a[1], h, w)))
     return hdr + full

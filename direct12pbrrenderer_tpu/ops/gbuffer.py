@@ -133,6 +133,7 @@ def gbuffer_shade(
     atlas: AtlasDevice,
     width: int,
     height: int,
+    y_offset=0,
 ) -> GBuffer:
     mask = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
@@ -142,6 +143,7 @@ def gbuffer_shade(
         jnp.arange(width, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )
+    py = py + y_offset
     _, lam_p, _ = raster.barycentrics_at(setup, tid, px, py)  # (H, W, 3)
 
     vidx = tris[tid]  # (H, W, 3)

@@ -128,6 +128,7 @@ def bin_triangles(
     tile_h: int,
     tile_w: int,
     cap: int,
+    y_offset=0,
 ) -> Bins:
     """Scatter triangle ids into per-tile lists (stable order).
 
@@ -140,7 +141,8 @@ def bin_triangles(
     t = setup.aabb.shape[0]
 
     tx0 = (jnp.arange(tiles_x) * tile_w).astype(jnp.float32)
-    ty0 = (jnp.arange(tiles_y) * tile_h).astype(jnp.float32)
+    # y_offset: global row of this framebuffer slice (sharded rendering)
+    ty0 = (jnp.arange(tiles_y) * tile_h).astype(jnp.float32) + y_offset
     # tile rects vs triangle aabbs: (tiles_y, tiles_x, T)
     xmin, ymin, xmax, ymax = (setup.aabb[:, i] for i in range(4))
     ov_x = (xmin[None, :] < (tx0 + tile_w)[:, None]) & (xmax[None, :] > tx0[:, None])
@@ -174,6 +176,7 @@ def rasterize(
     tile_h: int,
     tile_w: int,
     chunk: int = 64,
+    y_offset=0,
 ):
     """-> (tri_id (H, W) int32 [-1 = background], z (H, W) f32 [1.0 bg]).
 
@@ -197,7 +200,7 @@ def rasterize(
     local = jnp.stack([px.ravel(), py.ravel(), jnp.ones(p, jnp.float32)], -1)  # (p,3)
 
     tile_origin_x = (jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x) * tile_w
-    tile_origin_y = (jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x) * tile_h
+    tile_origin_y = (jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x) * tile_h + y_offset
 
     edges_flat = setup.edges.reshape(-1, 3, 3)
     z_flat = setup.z

@@ -30,7 +30,7 @@ def view_space_depth(ndc_depth, near, far):
     return near * far / (far - ndc_depth * (far - near))
 
 
-def camera_rays(width, height, inv_view, fov, ratio, near):
+def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0, full_height=None):
     """Per-pixel world-space camera->near-plane vectors.
 
     Generalizes the reference's triangle-corner interpolation trick
@@ -39,8 +39,9 @@ def camera_rays(width, height, inv_view, fov, ratio, near):
     """
     near_h = 2.0 * near * jnp.tan(fov / 2.0)
     near_w = near_h * ratio
+    fh = full_height if full_height is not None else height
     v, u = jnp.meshgrid(
-        (jnp.arange(height, dtype=jnp.float32) + 0.5) / height,
+        (jnp.arange(height, dtype=jnp.float32) + 0.5 + y_offset) / fh,
         (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
         indexing="ij",
     )
@@ -57,7 +58,8 @@ def camera_rays(width, height, inv_view, fov, ratio, near):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "fov", "ratio", "near", "far")
+    jax.jit,
+    static_argnames=("width", "height", "fov", "ratio", "near", "far", "full_height"),
 )
 def deferred_shade(
     gb_albedo_emission,   # (H, W, 4)
@@ -75,6 +77,8 @@ def deferred_shade(
     fov, ratio, near, far,
     width: int,
     height: int,
+    y_offset=0,
+    full_height: int | None = None,
 ):
     albedo = gb_albedo_emission[..., :3]
     emission = gb_albedo_emission[..., 3]
@@ -83,7 +87,7 @@ def deferred_shade(
     metallic = gb_rough_metal_ao[..., 1]
     # ao = gb_rough_metal_ao[..., 2]  # sampled but unused — reference quirk
 
-    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near)
+    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near, y_offset, full_height)
     z_view = view_space_depth(depth, near, far)
     position = camera_pos[None, None, :] + cam_vec * (z_view / near)[..., None]
     view_dir = camera_pos[None, None, :] - position
@@ -125,8 +129,9 @@ def deferred_shade(
     env_specular = env_irr * (f0 * env_brdf[..., 0:1] + env_brdf[..., 1:2])
 
     # --- clustered point lights (deferred_shading.hlsl:158-186) ------------
+    fh = full_height if full_height is not None else height
     u = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
-    v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+    v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y_offset) / fh
     cidx = clustered.cluster_index_image(
         jnp.broadcast_to(u, depth.shape), jnp.broadcast_to(v, depth.shape),
         z_view, near, far,

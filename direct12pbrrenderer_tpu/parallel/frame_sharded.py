@@ -1,0 +1,132 @@
+"""Multi-chip frame rendering: the framebuffer sharded across a device mesh.
+
+The reference is a single-GPU program (SURVEY.md §2.8); the TPU rebuild's
+scaling axis is the screen: a 1D `jax.sharding.Mesh` over axis ``"sp"``
+(screen/space parallelism — the renderer's analog of data parallelism) splits
+the framebuffer into row bands. Inside `shard_map` each chip:
+
+* runs the (cheap, replicated) vertex transform + triangle setup,
+* bins triangles against *its* rows only and rasterizes + G-buffer-shades +
+  deferred-shades its band (the heavy, perfectly parallel work),
+* `all_gather`s the HDR band over ICI so the cross-band post chain (bloom's
+  pyramid and the global luminance histogram) sees the whole image; exposure
+  and tone mapping then run replicated (identical on every chip).
+
+Scene buffers and lights are replicated (tens of MB — the natural choice at
+this scale; texture-atlas sharding over a second axis is the growth path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RenderConfig
+from ..ops import bloom as bloom_ops
+from ..ops import clustered, gbuffer, postprocess, raster, shading
+
+
+def build_sharded_frame(
+    mesh: Mesh,
+    config: RenderConfig,
+    tile_h: int,
+    tile_w: int,
+    bin_cap: int,
+    enable_bloom: bool = True,
+):
+    """Returns jit(frame) where raster/shade are row-sharded over mesh axis
+    'sp'. The returned function takes the same pytree of buffers as the
+    single-chip pipeline plus per-frame arrays, and yields a replicated
+    (H, W, 3) uint8 image and the new average-luminance carry."""
+    n_dev = mesh.shape["sp"]
+    w, h = config.width, config.height
+    assert h % (n_dev * tile_h) == 0, (
+        f"height {h} must split into {n_dev} bands of tile_h={tile_h} tiles"
+    )
+    band_h = h // n_dev
+    tiles_y = band_h // tile_h
+    tiles_x = w // tile_w
+
+    def band_render(
+        buffers, model_mats, normal_mats, instance_visible, light_valid,
+        view, inv_view, view_proj, camera_pos, prev_avg_lum, delta_time,
+    ):
+        band = jax.lax.axis_index("sp")
+        y0 = (band * band_h).astype(jnp.float32)
+
+        # replicated vertex/setup work (small vs. per-pixel work)
+        clip = raster.vertex_transform(
+            buffers["positions"], buffers["vtx_instance"], model_mats, view_proj
+        )
+        nrm_ws = raster.transform_directions(
+            buffers["normals"], buffers["vtx_instance"], normal_mats
+        )
+        tan_ws = raster.transform_directions(
+            buffers["tangents"], buffers["vtx_instance"], normal_mats
+        )
+        tri_ok = buffers["tri_valid_pool"] & instance_visible[buffers["tri_instance"]]
+        setup = raster.setup_triangles(clip, buffers["tris"], tri_ok, w, h)
+
+        bins = raster.bin_triangles(
+            setup, tiles_y, tiles_x, tile_h, tile_w, bin_cap, y_offset=y0
+        )
+        tri_id, depth = raster.rasterize(
+            setup, bins, w, band_h, tile_h, tile_w, y_offset=y0
+        )
+        gb = gbuffer.gbuffer_shade(
+            tri_id, depth, setup, buffers["tris"], nrm_ws, tan_ws, buffers["uvs"],
+            buffers["tri_material"], buffers["mat_albedo"], buffers["mat_emission"],
+            buffers["mat_roughness"], buffers["mat_metallic"], buffers["mat_use"],
+            buffers["mat_tex"], buffers["atlas"], w, band_h, y_offset=y0,
+        )
+
+        lists, _counts = clustered.cull_lights_to_clusters(
+            buffers["ClusterBounds"], view, buffers["light_pos"],
+            buffers["light_attenuation"][:, 0], buffers["light_intensity"],
+            light_valid,
+        )
+        rt_band = shading.deferred_shade(
+            gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth, gb.mask,
+            buffers["SkyBoxSH"], buffers["PrecomputeBRDF"], buffers["PrefilterEnvMap"],
+            buffers["SkyBoxTexture"], lists,
+            buffers["light_pos"], buffers["light_color"], buffers["light_intensity"],
+            buffers["light_attenuation"], view, inv_view, camera_pos,
+            config.fov, config.ratio, config.near, config.far,
+            w, band_h, y_offset=y0, full_height=h,
+        )
+
+        # gather bands over ICI -> full HDR image on every chip
+        rt_full = jax.lax.all_gather(rt_band, "sp", axis=0, tiled=True)
+
+        # replicated post chain (bloom crosses band boundaries; histogram is
+        # global). Identical on all chips, so stays consistent.
+        if enable_bloom:
+            rt_full = bloom_ops.bloom(rt_full)
+        hist = postprocess.luminance_histogram(rt_full)
+        avg = postprocess.average_luminance(
+            hist, float(w * h), prev_avg_lum, delta_time
+        )
+        out = postprocess.tone_map(rt_full, avg)
+        rgb8 = (out * 255.0 + 0.5).astype(jnp.uint8)
+        return rgb8, avg
+
+    replicated = P()
+    shard_fn = jax.shard_map(
+        band_render,
+        mesh=mesh,
+        in_specs=(replicated,) * 11,
+        out_specs=replicated,
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), ("sp",))

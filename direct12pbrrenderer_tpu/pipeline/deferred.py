@@ -312,8 +312,13 @@ class DeferredRenderPipeline:
         return out["BackBuffer"]
 
     # ------------------------------------------------------------------
-    def render(self, camera: Camera, delta_time: float = 1.0 / 60.0):
-        """One frame -> (H, W, 3) uint8 (device array)."""
+    def render(
+        self, camera: Camera, delta_time: float = 1.0 / 60.0, collect_stats: bool = True
+    ):
+        """One frame -> (H, W, 3) uint8 (device array).
+
+        collect_stats=False skips the host readback of the bin counters so
+        frames stay fully async (benchmark path)."""
         planes = camera.frustum_planes()
         p = self.packed
         visible = p.instance_visibility(planes)
@@ -339,11 +344,13 @@ class DeferredRenderPipeline:
             jnp.asarray(delta_time, jnp.float32),
         )
         self.avg_luminance = avg
-        self.last_stats = FrameStats(
-            visible_instances=int(visible.sum()),
-            total_instances=p.instance_count,
-            visible_lights=int(lights.sum()),
-            bin_overflow=int(np.maximum(np.asarray(bin_counts) - self.bin_cap, 0).max())
-            if bin_counts is not None else 0,
-        )
+        if collect_stats:
+            self.last_stats = FrameStats(
+                visible_instances=int(visible.sum()),
+                total_instances=p.instance_count,
+                visible_lights=int(lights.sum()),
+                bin_overflow=int(
+                    np.maximum(np.asarray(bin_counts) - self.bin_cap, 0).max()
+                ),
+            )
         return rgb8

@@ -56,6 +56,13 @@ def _rgb565_to_rgb888(c: np.ndarray) -> np.ndarray:
 
 def bc1_decode_mip(data: bytes | np.ndarray, width: int, height: int) -> np.ndarray:
     """Decode one BC1 mip -> (height, width, 4) uint8 RGBA."""
+    try:
+        from . import native_codec
+
+        if native_codec.available():
+            return native_codec.bc1_decode_mip(data, width, height)
+    except ImportError:
+        pass
     bw, bh = _blocks(width), _blocks(height)
     raw = np.frombuffer(memoryview(data), dtype=np.uint8, count=bw * bh * 8).reshape(bh, bw, 8)
     c0 = raw[..., 0].astype(np.uint16) | (raw[..., 1].astype(np.uint16) << 8)
