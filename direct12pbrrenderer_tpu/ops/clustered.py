@@ -117,6 +117,33 @@ def cull_lights_to_clusters(
     return lists[:, :MAX_LIGHTS_PER_CLUSTER], counts
 
 
+def build_cluster_light_params(
+    cluster_lists,   # (C, 32) int32 from cull_lights_to_clusters
+    light_pos, light_color, light_intensity, light_attenuation,
+):
+    """(C, 32, 12) per-cluster light parameter rows:
+    [pos(3), color(3), intensity, kc, kl, kq, valid, pad].
+
+    Pre-gathers light data at cluster rate (C*32 fetches) so the shading pass
+    fetches ONE contiguous 1.5KB row per pixel instead of ~10 scattered
+    gathers per light — the TPU analog of the reference's StructuredBuffer
+    locality (Cluster.LightIndex -> PointLights[] indirections)."""
+    lvalid = cluster_lists >= 0
+    lidx = jnp.maximum(cluster_lists, 0)
+    params = jnp.concatenate(
+        [
+            light_pos[lidx],
+            light_color[lidx],
+            light_intensity[lidx][..., None],
+            light_attenuation[lidx][..., 1:4],
+            lvalid[..., None].astype(jnp.float32),
+            jnp.zeros(lidx.shape + (1,), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return params
+
+
 def cluster_index_image(uv_x, uv_y, z_view, near: float, far: float):
     """Per-pixel cluster index (clustered.hlsli:45-59). uv origin top-left."""
     sx = jnp.clip(jnp.floor(uv_x * CLUSTER_X), 0, CLUSTER_X - 1).astype(jnp.int32)

@@ -251,6 +251,84 @@ def sample_cubemap_bilinear(faces, dirs):
     )
 
 
+class CubeMipAtlas:
+    """Cubemap mip chain flattened into one (N, C) array + static offsets so a
+    trilinear sample costs 8 computed-index gathers (2 mips x 4 taps) instead
+    of bilinear-sampling every mip and selecting."""
+
+    def __init__(self, mip_faces):
+        import numpy as _np
+
+        self.sizes = tuple(int(m.shape[1]) for m in mip_faces)
+        offs = []
+        cur = 0
+        for m in mip_faces:
+            offs.append(cur)
+            cur += 6 * m.shape[1] * m.shape[2]
+        self.offsets = jnp.asarray(_np.asarray(offs, _np.int32))
+        self.sizes_arr = jnp.asarray(_np.asarray(self.sizes, _np.int32))
+        self.flat = jnp.concatenate(
+            [m.reshape(-1, m.shape[-1]) for m in mip_faces], axis=0
+        )
+        self.n_mips = len(mip_faces)
+
+    def tree_flatten(self):
+        return (self.offsets, self.sizes_arr, self.flat), (self.sizes, self.n_mips)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.offsets, obj.sizes_arr, obj.flat = children
+        obj.sizes, obj.n_mips = aux
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    CubeMipAtlas,
+    lambda a: a.tree_flatten(),
+    CubeMipAtlas.tree_unflatten,
+)
+
+
+def _cube_atlas_bilinear(atlas: CubeMipAtlas, dirs, mip):
+    """Bilinear fetch at integer mip (traced), per-face clamp addressing."""
+    face, u, v = cubemap_coords(dirs)
+    size = atlas.sizes_arr[mip]
+    off = atlas.offsets[mip]
+    x = u * size - 0.5
+    y = v * size - 0.5
+    x0 = jnp.clip(jnp.floor(x), 0, size - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, size - 1).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, size - 1)
+    y1 = jnp.minimum(y0 + 1, size - 1)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    base = off + face * size * size
+
+    def fetch(yy, xx):
+        return atlas.flat[base + yy * size + xx]
+
+    c00 = fetch(y0, x0)
+    c01 = fetch(y0, x1)
+    c10 = fetch(y1, x0)
+    c11 = fetch(y1, x1)
+    return (
+        c00 * (1 - fx) * (1 - fy)
+        + c01 * fx * (1 - fy)
+        + c10 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+
+
+def sample_cube_atlas_trilinear(atlas: CubeMipAtlas, dirs, mip_level):
+    lvl = jnp.clip(mip_level, 0.0, atlas.n_mips - 1.0)
+    lo = jnp.floor(lvl).astype(jnp.int32)
+    frac = (lvl - lo)[..., None]
+    c0 = _cube_atlas_bilinear(atlas, dirs, lo)
+    c1 = _cube_atlas_bilinear(atlas, dirs, jnp.minimum(lo + 1, atlas.n_mips - 1))
+    return c0 * (1 - frac) + c1 * frac
+
+
 def sample_cubemap_trilinear(mip_faces: list, dirs, mip_level):
     """Trilinear: bilinear on floor/ceil mips, lerped. `mip_faces` is a list
     of (6, s_m, s_m, c) arrays; mip_level broadcastable over dirs[:-1]."""

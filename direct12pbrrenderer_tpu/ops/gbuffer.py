@@ -12,11 +12,15 @@ G-buffer layout (gbuffer.hlsl:10-26, all RGBA8 per DeferredPipeline.h:107-109):
   C: roughness, metallic, ambient occlusion, 0
 plus the ndc depth image and the coverage mask (stencil analog).
 
-Texture sampling reproduces the D3D sampler stack: LinearWrap filtering with
-trilinear LOD from screen-space uv derivatives (2x2 quad differences like the
-hardware), and sRGB-EOTF linearization for *_SRGB SRVs — note the shipped
-albedo textures are sRGB SRVs AND the shader gamma-decodes the sampled value
-again (decode_gamma, gbuffer.hlsl:110-114); we reproduce the double decode.
+TPU gather discipline: per-pixel state is packed into two contiguous tables —
+a (T, 32) per-triangle row (edge equations + interpolation data + the whole
+ConstantBufferInstance material block) and a (V, 8) per-vertex attribute row
+(uv, normal, tangent) — so the interpolation stage costs one 128-byte and one
+3x32-byte gather per pixel instead of ~10 scattered ones. Texture sampling
+reproduces the D3D sampler stack: LinearWrap trilinear with quad-difference
+LOD and sRGB-EOTF linearization for *_SRGB SRVs (the shipped albedo maps are
+sRGB SRVs AND the shader gamma-decodes again — we reproduce the double
+decode, gbuffer.hlsl:110-114).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import common, raster
 
@@ -36,6 +41,26 @@ class AtlasDevice(NamedTuple):
     base_size: jnp.ndarray    # (T, 2) int32
     n_mips: jnp.ndarray       # (T,) int32
     srgb: jnp.ndarray         # (T,) bool
+
+
+def pack_material_rows(albedo, emission, roughness, metallic, use_map, tex_ids):
+    """(M, 16) material rows: [albedo(3), emission, roughness, metallic,
+    use(5), tex(5)] — the ConstantBufferInstance block in SoA->AoS form.
+    Host-side, once per scene."""
+    m = len(emission)
+    rows = np.zeros((m, 16), np.float32)
+    rows[:, 0:3] = albedo
+    rows[:, 3] = emission
+    rows[:, 4] = roughness
+    rows[:, 5] = metallic
+    rows[:, 6:11] = use_map.astype(np.float32)
+    rows[:, 11:16] = tex_ids.astype(np.float32)  # exact for ids < 2^24
+    return rows
+
+
+def pack_vertex_attrs(uvs, normals_ws, tangents_ws):
+    """(V, 8): [uv(2), normal(3), tangent(3)] — one contiguous row per vertex."""
+    return jnp.concatenate([uvs, normals_ws, tangents_ws], axis=1)
 
 
 def _unpack_rgba(u32):
@@ -120,16 +145,11 @@ def _quantize8(x):
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
 def gbuffer_shade(
-    tri_id,                 # (H, W) int32 from rasterize
-    depth,                  # (H, W) f32
-    setup: raster.TriangleSetup,
-    tris,                   # (T, 3) int32
-    normals_ws,             # (V, 3) world-space (already InvModel^T-transformed)
-    tangents_ws,            # (V, 3)
-    uvs,                    # (V, 2)
-    tri_material,           # (T,) int32
-    mat_albedo, mat_emission, mat_roughness, mat_metallic,  # material table
-    mat_use, mat_tex,       # (M, 5) bool / int32
+    tri_id,       # (H, W) int32 from rasterize
+    depth,        # (H, W) f32
+    tri_rows,     # (T, 32): pack_pixel_data ++ material row per triangle
+    tris,         # (T, 3) int32
+    vertex_attrs, # (V, 8) from pack_vertex_attrs
     atlas: AtlasDevice,
     width: int,
     height: int,
@@ -144,45 +164,49 @@ def gbuffer_shade(
         indexing="ij",
     )
     py = py + y_offset
-    _, lam_p, _ = raster.barycentrics_at(setup, tid, px, py)  # (H, W, 3)
+
+    row = tri_rows[tid]  # (H, W, 32) — ONE gather for all per-tri data
+    _, lam_p, _ = _bary(row, px, py)
 
     vidx = tris[tid]  # (H, W, 3)
-    uv = (uvs[vidx] * lam_p[..., None]).sum(-2)  # (H, W, 2)
-    nrm = (normals_ws[vidx] * lam_p[..., None]).sum(-2)
-    tan = (tangents_ws[vidx] * lam_p[..., None]).sum(-2)
+    attrs = vertex_attrs[vidx]  # (H, W, 3, 8) — contiguous per-vertex rows
+    interp = (attrs * lam_p[..., None]).sum(-2)  # (H, W, 8)
+    uv = interp[..., 0:2]
+    nrm = interp[..., 2:5]
+    tan = interp[..., 5:8]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
     tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
 
-    mat = tri_material[tid]  # (H, W)
-    use = mat_use[mat]       # (H, W, 5)
-    tex = jnp.maximum(mat_tex[mat], 0)
+    mat_albedo = row[..., 16:19]
+    mat_emission = row[..., 19]
+    mat_roughness = row[..., 20]
+    mat_metallic = row[..., 21]
+    use = row[..., 22:27] > 0.5
+    tex = jnp.maximum(row[..., 27:32].astype(jnp.int32), 0)
 
-    # uv derivatives -> per-texture LOD (texel-space gradient length, log2)
+    # uv derivatives -> per-texture LOD (texel-space gradient length, log2).
+    # All five material slots sample through ONE vectorized trilinear call
+    # (slot axis batched) — 5x less emitted gather code, bigger fused fetches.
     ddx, ddy = _quad_derivatives(uv)
+    size5 = atlas.base_size[tex].astype(jnp.float32)         # (H, W, 5, 2)
+    gx = ddx[..., None, :] * size5
+    gy = ddy[..., None, :] * size5
+    rho2 = jnp.maximum((gx * gx).sum(-1), (gy * gy).sum(-1))  # (H, W, 5)
+    lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
 
-    def lod_for(tex_id):
-        size = atlas.base_size[tex_id].astype(jnp.float32)  # (H, W, 2)
-        gx = ddx * size
-        gy = ddy * size
-        rho2 = jnp.maximum((gx * gx).sum(-1), (gy * gy).sum(-1))
-        return 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
-
-    def sample(slot):
-        t = tex[..., slot]
-        return sample_atlas_trilinear(atlas, t, uv[..., 0], uv[..., 1], lod_for(t))
-
-    albedo_tex = sample(0)[..., :3]
-    normal_tex = sample(1)[..., :3]
-    metallic_tex = sample(2)[..., 0]
-    roughness_tex = sample(3)[..., 0]
-    ao_tex = sample(4)[..., 0]
+    samples = sample_atlas_trilinear(
+        atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5
+    )  # (H, W, 5, 4)
+    albedo_tex = samples[..., 0, :3]
+    normal_tex = samples[..., 1, :3]
+    metallic_tex = samples[..., 2, 0]
+    roughness_tex = samples[..., 3, 0]
+    ao_tex = samples[..., 4, 0]
 
     # normal mapping: TBN with bitangent = cross(N, T) (gbuffer.hlsl:63-69)
     bit = jnp.cross(nrm, tan)
     n_ts = normal_tex * 2.0 - 1.0
-    n_mapped = (
-        tan * n_ts[..., 0:1] + bit * n_ts[..., 1:2] + nrm * n_ts[..., 2:3]
-    )
+    n_mapped = tan * n_ts[..., 0:1] + bit * n_ts[..., 1:2] + nrm * n_ts[..., 2:3]
     n_mapped = n_mapped / jnp.maximum(
         jnp.linalg.norm(n_mapped, axis=-1, keepdims=True), 1e-20
     )
@@ -191,13 +215,13 @@ def gbuffer_shade(
     albedo = jnp.where(
         use[..., 0:1],
         common.decode_gamma(albedo_tex),
-        common.decode_gamma(mat_albedo[mat]),
+        common.decode_gamma(mat_albedo),
     )
-    roughness = jnp.where(use[..., 3], roughness_tex, mat_roughness[mat])
-    metallic = jnp.where(use[..., 2], metallic_tex, mat_metallic[mat])
+    roughness = jnp.where(use[..., 3], roughness_tex, mat_roughness)
+    metallic = jnp.where(use[..., 2], metallic_tex, mat_metallic)
     # AO defaults to 0 when unmapped (gbuffer.hlsl:135-138) — reference quirk
     ao = jnp.where(use[..., 4], ao_tex, 0.0)
-    emission = mat_emission[mat]
+    emission = mat_emission
 
     oct = common.encode_octahedron(normal_ws)
 
@@ -210,3 +234,17 @@ def gbuffer_shade(
     gb_b = jnp.where(mask[..., None], gb_b, zero)
     gb_c = jnp.where(mask[..., None], gb_c, zero)
     return GBuffer(gb_a, gb_b, gb_c, depth, mask)
+
+
+def _bary(row, px, py):
+    """Perspective-correct barycentrics from the pre-gathered (.., 32) row."""
+    e = row[..., :9].reshape(row.shape[:-1] + (3, 3))
+    inv_area = row[..., 9]
+    iw = row[..., 13:16]
+    ph = jnp.stack([px, py, jnp.ones_like(px)], -1)
+    scores = (e * ph[..., None, :]).sum(-1)
+    lam = scores * inv_area[..., None]
+    lw = lam * iw
+    one_over_w = lw.sum(-1)
+    lam_persp = lw / jnp.maximum(one_over_w[..., None], 1e-20)
+    return None, lam_persp, one_over_w

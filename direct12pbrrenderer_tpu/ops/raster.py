@@ -180,9 +180,10 @@ def rasterize(
 ):
     """-> (tri_id (H, W) int32 [-1 = background], z (H, W) f32 [1.0 bg]).
 
-    Scans over tiles; per tile, scans its triangle list in `chunk`-sized
-    slabs. Each slab evaluates edges for all tile pixels as a single
-    (pixels, 3) x (3, 3*chunk) matmul, then folds depth via masked argmin.
+    Scans over triangle-list chunks with ALL tiles batched per step: each
+    step is one (tiles, pixels, 3) x (tiles, 3, 3*chunk) batched matmul on
+    the MXU followed by a masked-argmin depth fold on the VPU. Tiles run in
+    parallel (the device saturates); only the depth dependency is sequential.
     """
     tiles_y = height // tile_h
     tiles_x = width // tile_w
@@ -191,65 +192,66 @@ def rasterize(
     cap = bins.ids.shape[1]
     n_chunks = max(1, cap // chunk)
 
-    # tile-local pixel centers (relative offsets; per-tile origin added in scan)
+    # per-tile pixel centers in global coordinates: (tiles, p, 3)
     py, px = jnp.meshgrid(
         jnp.arange(tile_h, dtype=jnp.float32) + 0.5,
         jnp.arange(tile_w, dtype=jnp.float32) + 0.5,
         indexing="ij",
     )
     local = jnp.stack([px.ravel(), py.ravel(), jnp.ones(p, jnp.float32)], -1)  # (p,3)
+    tile_origin_x = ((jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x) * tile_w)
+    tile_origin_y = (
+        (jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x) * tile_h + y_offset
+    )
+    origin = jnp.stack(
+        [
+            tile_origin_x.astype(jnp.float32),
+            tile_origin_y.astype(jnp.float32),
+            jnp.zeros(num_tiles, jnp.float32),
+        ],
+        -1,
+    )  # (tiles, 3)
+    pix = local[None, :, :] + origin[:, None, :]  # (tiles, p, 3)
 
-    tile_origin_x = (jnp.arange(num_tiles, dtype=jnp.int32) % tiles_x) * tile_w
-    tile_origin_y = (jnp.arange(num_tiles, dtype=jnp.int32) // tiles_x) * tile_h + y_offset
-
-    edges_flat = setup.edges.reshape(-1, 3, 3)
+    edges_flat = setup.edges
     z_flat = setup.z
     valid_flat = setup.valid
 
-    def tile_step(_, tile_idx):
-        ox = tile_origin_x[tile_idx].astype(jnp.float32)
-        oy = tile_origin_y[tile_idx].astype(jnp.float32)
-        pix = local + jnp.array([1.0, 0.0, 0.0]) * ox + jnp.array([0.0, 1.0, 0.0]) * oy
-        tri_list = bins.ids[tile_idx]  # (cap,)
+    def chunk_step(carry, c_idx):
+        zbuf, idbuf = carry  # (tiles, p)
+        ids = jax.lax.dynamic_slice(
+            bins.ids, (0, c_idx * chunk), (num_tiles, chunk)
+        )  # (tiles, chunk)
+        ok = (ids >= 0) & valid_flat[jnp.maximum(ids, 0)]
+        idsc = jnp.maximum(ids, 0)
 
-        def chunk_step(carry, c_idx):
-            zbuf, idbuf = carry
-            ids = jax.lax.dynamic_slice(tri_list, (c_idx * chunk,), (chunk,))
-            ok = (ids >= 0) & valid_flat[jnp.maximum(ids, 0)]
-            idsc = jnp.maximum(ids, 0)
+        ec = edges_flat[idsc]  # (tiles, chunk, 3, 3)
+        # rasterization as batched matmul. fp32 precision is load-bearing:
+        # bf16 edge functions misplace edges by pixels at 1080p magnitudes.
+        scores = jnp.einsum(
+            "tpk,tcek->tpce", pix, ec, precision=jax.lax.Precision.HIGHEST
+        )  # (tiles, p, chunk, 3)
+        inside = (scores >= 0.0).all(-1) & ok[:, None, :]
 
-            ec = edges_flat[idsc]                      # (chunk, 3, 3)
-            # rasterization as matmul: (p, 3) @ (3, 3*chunk) on the MXU.
-            # fp32 precision is load-bearing: bf16 edge functions misplace
-            # edges by multiple pixels at 1080p coordinate magnitudes.
-            scores = jnp.dot(
-                pix, ec.reshape(chunk * 3, 3).T,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (p, 3*chunk)
-            scores = scores.reshape(p, chunk, 3)
-            inside = (scores >= 0.0).all(-1) & ok[None, :]
+        # screen-space barycentrics interpolate ndc z exactly (affine)
+        lam = scores * setup.inv_area[idsc][:, None, :, None]
+        zc = (lam * z_flat[idsc][:, None]).sum(-1)  # (tiles, p, chunk)
+        # z outside [0,1] is clipped (far/near plane), like the D3D clipper
+        zc = jnp.where(inside & (zc >= 0.0) & (zc <= 1.0), zc, jnp.inf)
 
-            # screen-space barycentrics interpolate ndc z exactly (affine)
-            lam = scores * setup.inv_area[idsc][None, :, None]  # (p, chunk, 3)
-            zc = (lam * z_flat[idsc][None]).sum(-1)             # (p, chunk)
-            # z outside [0,1] is clipped (far/near plane), like the D3D clipper
-            zc = jnp.where(inside & (zc >= 0.0) & (zc <= 1.0), zc, jnp.inf)
+        best = jnp.argmin(zc, axis=-1)  # first min wins (draw order)
+        best_z = jnp.take_along_axis(zc, best[..., None], -1)[..., 0]
+        upd = best_z < zbuf
+        zbuf = jnp.where(upd, best_z, zbuf)
+        idbuf = jnp.where(upd, jnp.take_along_axis(ids, best, -1), idbuf)
+        return (zbuf, idbuf), None
 
-            best = jnp.argmin(zc, axis=1)                        # first min wins
-            best_z = jnp.take_along_axis(zc, best[:, None], 1)[:, 0]
-            upd = best_z < zbuf
-            zbuf = jnp.where(upd, best_z, zbuf)
-            idbuf = jnp.where(upd, ids[best], idbuf)
-            return (zbuf, idbuf), None
-
-        init = (jnp.full((p,), jnp.inf, jnp.float32), jnp.full((p,), -1, jnp.int32))
-        (zbuf, idbuf), _ = jax.lax.scan(
-            chunk_step, init, jnp.arange(n_chunks, dtype=jnp.int32)
-        )
-        return None, (zbuf, idbuf)
-
-    _, (z_tiles, id_tiles) = jax.lax.scan(
-        tile_step, None, jnp.arange(num_tiles, dtype=jnp.int32)
+    init = (
+        jnp.full((num_tiles, p), jnp.inf, jnp.float32),
+        jnp.full((num_tiles, p), -1, jnp.int32),
+    )
+    (z_tiles, id_tiles), _ = jax.lax.scan(
+        chunk_step, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
     # (num_tiles, p) -> (H, W)
     z_img = (
@@ -264,6 +266,39 @@ def rasterize(
     )
     z_img = jnp.where(jnp.isinf(z_img), 1.0, z_img)
     return id_img, z_img
+
+
+def pack_pixel_data(setup: TriangleSetup) -> jnp.ndarray:
+    """Per-triangle data needed at pixel rate, packed into one (T, 16) row so
+    the per-pixel fetch is a single contiguous 64-byte gather instead of four
+    scattered ones: [edges(9), inv_area(1), z(3), inv_w(3)]."""
+    t = setup.edges.shape[0]
+    return jnp.concatenate(
+        [
+            setup.edges.reshape(t, 9),
+            setup.inv_area[:, None],
+            setup.z,
+            setup.inv_w,
+        ],
+        axis=1,
+    )
+
+
+def barycentrics_from_packed(packed, tri_id, px, py):
+    """Same results as `barycentrics_at`, one gather per pixel.
+    packed: (T, 16) from pack_pixel_data. Returns (lam, lam_persp, one_over_w)."""
+    row = packed[tri_id]  # (..., 16)
+    e = row[..., :9].reshape(row.shape[:-1] + (3, 3))
+    inv_area = row[..., 9]
+    zv = row[..., 10:13]
+    iw = row[..., 13:16]
+    ph = jnp.stack([px, py, jnp.ones_like(px)], -1)
+    scores = (e * ph[..., None, :]).sum(-1)
+    lam = scores * inv_area[..., None]
+    lw = lam * iw
+    one_over_w = lw.sum(-1)
+    lam_persp = lw / jnp.maximum(one_over_w[..., None], 1e-20)
+    return lam, lam_persp, one_over_w
 
 
 def barycentrics_at(setup: TriangleSetup, tri_id, px, py):

@@ -69,10 +69,9 @@ def deferred_shade(
     mask,                 # (H, W) bool coverage
     sh_pack,              # (7, 4) SkyBoxSH
     brdf_lut,             # (S, S, 2)
-    prefiltered,          # tuple of (6, s_m, s_m, 3), 5 mips
+    prefiltered,          # common.CubeMipAtlas of the 5 prefiltered mips
     skybox_mip0,          # (6, s, s, 3) for the background
-    cluster_lists,        # (C, 32) int32
-    light_pos, light_color, light_intensity, light_attenuation,  # packed lights
+    cluster_params,       # (C, 32, 12) from clustered.build_cluster_light_params
     view, inv_view, camera_pos,
     fov, ratio, near, far,
     width: int,
@@ -119,8 +118,8 @@ def deferred_shade(
     n_dot_v = jnp.maximum((normal * view_dir).sum(-1), 0.0)
     refl = 2.0 * (normal * view_dir).sum(-1, keepdims=True) * normal - view_dir
     refl = refl / jnp.maximum(jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-20)
-    env_irr = common.sample_cubemap_trilinear(
-        list(prefiltered), refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
+    env_irr = common.sample_cube_atlas_trilinear(
+        prefiltered, refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
     )[..., :3]
     env_brdf = common.sample_texture2d_bilinear(
         brdf_lut, roughness, n_dot_v, wrap=False
@@ -136,20 +135,19 @@ def deferred_shade(
         jnp.broadcast_to(u, depth.shape), jnp.broadcast_to(v, depth.shape),
         z_view, near, far,
     )
-    lights = cluster_lists[cidx]  # (H, W, 32)
-    lvalid = lights >= 0
-    lidx = jnp.maximum(lights, 0)
+    lp = cluster_params[cidx]  # (H, W, 32, 12) — ONE contiguous row gather
+    lpos = lp[..., 0:3]
+    lcolor = lp[..., 3:6]
+    lintensity = lp[..., 6]
+    kc, kl, kq = lp[..., 7], lp[..., 8], lp[..., 9]
+    lvalid = lp[..., 10] > 0.5
 
-    lpos = light_pos[lidx]            # (H, W, 32, 3)
     ldir = lpos - position[..., None, :]
     dist = jnp.linalg.norm(ldir, axis=-1)
     ldir = ldir / jnp.maximum(dist[..., None], 1e-20)
     n_dot_l = jnp.maximum((normal[..., None, :] * ldir).sum(-1), 0.0)
 
-    att = light_attenuation[lidx]     # (H, W, 32, 4): radius, kc, kl, kq
-    attenuation = 1.0 / jnp.maximum(
-        att[..., 1] + att[..., 2] * dist + att[..., 3] * dist * dist, common.EPSILON
-    )
+    attenuation = 1.0 / jnp.maximum(kc + kl * dist + kq * dist * dist, common.EPSILON)
     f = common.brdf(
         albedo[..., None, :],
         metallic[..., None],
@@ -158,9 +156,7 @@ def deferred_shade(
         view_dir[..., None, :],
         ldir,
     )
-    radiance = light_color[lidx] * (
-        light_intensity[lidx] * attenuation * n_dot_l
-    )[..., None]
+    radiance = lcolor * (lintensity * attenuation * n_dot_l)[..., None]
     point_light = jnp.where(lvalid[..., None], f * radiance, 0.0).sum(-2)
 
     emission_lum = albedo * emission[..., None]

@@ -78,11 +78,14 @@ def build_sharded_frame(
         tri_id, depth = raster.rasterize(
             setup, bins, w, band_h, tile_h, tile_w, y_offset=y0
         )
+        tri_rows = jnp.concatenate(
+            [raster.pack_pixel_data(setup),
+             buffers["mat_rows"][buffers["tri_material"]]], axis=1,
+        )
+        vattrs = gbuffer.pack_vertex_attrs(buffers["uvs"], nrm_ws, tan_ws)
         gb = gbuffer.gbuffer_shade(
-            tri_id, depth, setup, buffers["tris"], nrm_ws, tan_ws, buffers["uvs"],
-            buffers["tri_material"], buffers["mat_albedo"], buffers["mat_emission"],
-            buffers["mat_roughness"], buffers["mat_metallic"], buffers["mat_use"],
-            buffers["mat_tex"], buffers["atlas"], w, band_h, y_offset=y0,
+            tri_id, depth, tri_rows, buffers["tris"], vattrs,
+            buffers["atlas"], w, band_h, y_offset=y0,
         )
 
         lists, _counts = clustered.cull_lights_to_clusters(
@@ -90,12 +93,15 @@ def build_sharded_frame(
             buffers["light_attenuation"][:, 0], buffers["light_intensity"],
             light_valid,
         )
+        cluster_params = clustered.build_cluster_light_params(
+            lists, buffers["light_pos"], buffers["light_color"],
+            buffers["light_intensity"], buffers["light_attenuation"],
+        )
         rt_band = shading.deferred_shade(
             gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth, gb.mask,
             buffers["SkyBoxSH"], buffers["PrecomputeBRDF"], buffers["PrefilterEnvMap"],
-            buffers["SkyBoxTexture"], lists,
-            buffers["light_pos"], buffers["light_color"], buffers["light_intensity"],
-            buffers["light_attenuation"], view, inv_view, camera_pos,
+            buffers["SkyBoxTexture"], cluster_params,
+            view, inv_view, camera_pos,
             config.fov, config.ratio, config.near, config.far,
             w, band_h, y_offset=y0, full_height=h,
         )

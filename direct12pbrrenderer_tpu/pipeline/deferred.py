@@ -72,6 +72,8 @@ class DeferredRenderPipeline:
 
         # ---- precompute passes (once, latched) ----------------------------
         self.brdf_lut = ibl.brdf_lut(size=brdf_lut_size)
+        from ..ops.common import CubeMipAtlas
+
         if scene.skybox is not None and scene.skybox.cubemap is not None:
             cube = scene.skybox.cubemap
             base = jnp.asarray(
@@ -82,7 +84,7 @@ class DeferredRenderPipeline:
             n_src = int(np.log2(base.shape[1])) + 1
             src = ibl.build_cubemap_mips(base, n_src)
             size = prefilter_size or min(PREFILTER_ENVMAP_SIZE, base.shape[1])
-            self.prefiltered = tuple(
+            self.prefiltered = CubeMipAtlas(
                 ibl.prefilter_env_map(tuple(src), out_size=size)
             )
             self.skybox_mip0 = base
@@ -93,7 +95,7 @@ class DeferredRenderPipeline:
                 jnp.zeros((6, size >> m, size >> m, 3), jnp.float32)
                 for m in range(PREFILTER_ENVMAP_MIP_LEVELS)
             ]
-            self.prefiltered = tuple(zeros)
+            self.prefiltered = CubeMipAtlas(zeros)
             self.skybox_mip0 = jnp.zeros((6, 8, 8, 3), jnp.float32)
             self.sh_pack = jnp.zeros((7, 4), jnp.float32)
 
@@ -113,12 +115,12 @@ class DeferredRenderPipeline:
             "tri_material": jnp.asarray(p.tri_material),
             "tri_instance": jnp.asarray(p.tri_instance),
             "tri_valid_pool": jnp.asarray(p.tri_valid),
-            "mat_albedo": jnp.asarray(p.materials.albedo),
-            "mat_emission": jnp.asarray(p.materials.emission),
-            "mat_roughness": jnp.asarray(p.materials.roughness),
-            "mat_metallic": jnp.asarray(p.materials.metallic),
-            "mat_use": jnp.asarray(p.materials.use_map),
-            "mat_tex": jnp.asarray(p.materials.tex_ids),
+            "mat_rows": jnp.asarray(
+                gbuffer.pack_material_rows(
+                    p.materials.albedo, p.materials.emission, p.materials.roughness,
+                    p.materials.metallic, p.materials.use_map, p.materials.tex_ids,
+                )
+            ),
             "atlas": gbuffer.AtlasDevice(
                 jnp.asarray(p.atlas.data),
                 jnp.asarray(p.atlas.mip_offsets.astype(np.int32)),
@@ -158,7 +160,11 @@ class DeferredRenderPipeline:
                 env["light_intensity"],
                 env["LightValid"],
             )
-            return {"FrustumCluster": lists, "PointLights": counts}
+            params = clustered.build_cluster_light_params(
+                lists, env["light_pos"], env["light_color"],
+                env["light_intensity"], env["light_attenuation"],
+            )
+            return {"FrustumCluster": params, "PointLights": counts}
 
         def gbuffer_pass(env):
             model = env["ModelMats"]
@@ -180,12 +186,13 @@ class DeferredRenderPipeline:
             tri_id, depth = raster.rasterize(
                 setup, bins, w, h, self.tile_h, self.tile_w
             )
+            tri_rows = jnp.concatenate(
+                [raster.pack_pixel_data(setup), env["mat_rows"][env["tri_material"]]],
+                axis=1,
+            )
+            vattrs = gbuffer.pack_vertex_attrs(env["uvs"], nrm_ws, tan_ws)
             gb = gbuffer.gbuffer_shade(
-                tri_id, depth, setup, env["tris"], nrm_ws, tan_ws, env["uvs"],
-                env["tri_material"],
-                env["mat_albedo"], env["mat_emission"], env["mat_roughness"],
-                env["mat_metallic"], env["mat_use"], env["mat_tex"],
-                env["atlas"], w, h,
+                tri_id, depth, tri_rows, env["tris"], vattrs, env["atlas"], w, h,
             )
             return {
                 "GBufferA": gb.albedo_emission,
@@ -201,8 +208,6 @@ class DeferredRenderPipeline:
                 env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask,
                 env["SkyBoxSH"], env["PrecomputeBRDF"], env["PrefilterEnvMap"],
                 env["SkyBoxTexture"], env["FrustumCluster"],
-                env["light_pos"], env["light_color"], env["light_intensity"],
-                env["light_attenuation"],
                 env["View"], env["InvView"], env["CameraPos"],
                 cfg.fov, cfg.ratio, cfg.near, cfg.far, w, h,
             )
@@ -249,8 +254,7 @@ class DeferredRenderPipeline:
                 "GBuffer",
                 ("positions", "normals", "tangents", "uvs", "vtx_instance",
                  "tris", "tri_material", "tri_instance", "tri_valid_pool",
-                 "mat_albedo", "mat_emission", "mat_roughness", "mat_metallic",
-                 "mat_use", "mat_tex", "atlas", "ModelMats", "NormalMats",
+                 "mat_rows", "atlas", "ModelMats", "NormalMats",
                  "ViewProj", "InstanceVisible"),
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
                  "BinCounts"),
@@ -260,8 +264,7 @@ class DeferredRenderPipeline:
                 "DeferredShading",
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
                  "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
-                 "FrustumCluster", "light_pos", "light_color", "light_intensity",
-                 "light_attenuation", "View", "InvView", "CameraPos"),
+                 "FrustumCluster", "View", "InvView", "CameraPos"),
                 ("DeferredShadingRT",),
                 deferred_pass,
             ),
