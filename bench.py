@@ -24,7 +24,7 @@ BASELINE_FPS = 60.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--asset-root", default="/root/reference/DeferredRendering")
@@ -49,6 +49,8 @@ def main():
                 height=args.height,
                 frames=args.frames,
                 bin_cap=2048,
+                tile_h=24,
+                tile_w=128,
             )
         )
         pipe, cam, frames = app.pipeline, app.camera, args.frames

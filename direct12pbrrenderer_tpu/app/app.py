@@ -46,8 +46,8 @@ class AppConfig:
     bin_cap: int = 1024
     atlas_max_dim: int | None = 1024
     prefilter_size: int | None = None
-    max_triangles: int = 131072
-    max_vertices: int = 262144
+    max_triangles: int = 65536
+    max_vertices: int = 65536
 
 
 class App:

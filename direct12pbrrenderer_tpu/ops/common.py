@@ -252,9 +252,10 @@ def sample_cubemap_bilinear(faces, dirs):
 
 
 class CubeMipAtlas:
-    """Cubemap mip chain flattened into one (N, C) array + static offsets so a
-    trilinear sample costs 8 computed-index gathers (2 mips x 4 taps) instead
-    of bilinear-sampling every mip and selecting."""
+    """Cubemap mip chain flattened into one (N, 4, C) quad-record array +
+    static offsets: each record holds a texel's clamp-addressed 2x2 bilinear
+    neighborhood, so a trilinear sample costs TWO computed-index gathers
+    (one per mip) instead of 8, and a bilinear sample costs one."""
 
     def __init__(self, mip_faces):
         import numpy as _np
@@ -262,14 +263,20 @@ class CubeMipAtlas:
         self.sizes = tuple(int(m.shape[1]) for m in mip_faces)
         offs = []
         cur = 0
+        quads = []
         for m in mip_faces:
             offs.append(cur)
             cur += 6 * m.shape[1] * m.shape[2]
+            a = _np.asarray(m)
+            right = a[:, :, _np.minimum(_np.arange(a.shape[2]) + 1, a.shape[2] - 1)]
+            down = a[:, _np.minimum(_np.arange(a.shape[1]) + 1, a.shape[1] - 1)]
+            diag = right[:, _np.minimum(_np.arange(a.shape[1]) + 1, a.shape[1] - 1)]
+            quads.append(
+                _np.stack([a, right, down, diag], axis=3).reshape(-1, 4, a.shape[-1])
+            )
         self.offsets = jnp.asarray(_np.asarray(offs, _np.int32))
         self.sizes_arr = jnp.asarray(_np.asarray(self.sizes, _np.int32))
-        self.flat = jnp.concatenate(
-            [m.reshape(-1, m.shape[-1]) for m in mip_faces], axis=0
-        )
+        self.flat = jnp.asarray(_np.concatenate(quads, axis=0))
         self.n_mips = len(mip_faces)
 
     def tree_flatten(self):
@@ -291,7 +298,7 @@ jax.tree_util.register_pytree_node(
 
 
 def _cube_atlas_bilinear(atlas: CubeMipAtlas, dirs, mip):
-    """Bilinear fetch at integer mip (traced), per-face clamp addressing."""
+    """Bilinear fetch at integer mip (traced): ONE quad-record gather."""
     face, u, v = cubemap_coords(dirs)
     size = atlas.sizes_arr[mip]
     off = atlas.offsets[mip]
@@ -299,19 +306,11 @@ def _cube_atlas_bilinear(atlas: CubeMipAtlas, dirs, mip):
     y = v * size - 0.5
     x0 = jnp.clip(jnp.floor(x), 0, size - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, size - 1).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
     fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
     fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
-    base = off + face * size * size
 
-    def fetch(yy, xx):
-        return atlas.flat[base + yy * size + xx]
-
-    c00 = fetch(y0, x0)
-    c01 = fetch(y0, x1)
-    c10 = fetch(y1, x0)
-    c11 = fetch(y1, x1)
+    quad = atlas.flat[off + face * size * size + y0 * size + x0]  # (..., 4, C)
+    c00, c01, c10, c11 = quad[..., 0, :], quad[..., 1, :], quad[..., 2, :], quad[..., 3, :]
     return (
         c00 * (1 - fx) * (1 - fy)
         + c01 * fx * (1 - fy)
@@ -345,6 +344,34 @@ def sample_cubemap_trilinear(mip_faces: list, dirs, mip_level):
         out_lo = jnp.where((lo == m)[..., None], s, out_lo)
         out_hi = jnp.where((jnp.minimum(lo + 1, n_mips - 1) == m)[..., None], s, out_hi)
     return out_lo * (1 - frac) + out_hi * frac
+
+
+def make_quad_tex2d(tex):
+    """(h, w, c) -> (h*w, 4, c) clamp-addressed quad records (one gather per
+    bilinear tap; see CubeMipAtlas)."""
+    a = jnp.asarray(tex)
+    h, w = a.shape[0], a.shape[1]
+    right = a[:, jnp.minimum(jnp.arange(w) + 1, w - 1)]
+    down = a[jnp.minimum(jnp.arange(h) + 1, h - 1)]
+    diag = right[jnp.minimum(jnp.arange(h) + 1, h - 1)]
+    return jnp.stack([a, right, down, diag], axis=2).reshape(h * w, 4, a.shape[-1])
+
+
+def sample_quad_tex2d(quad, h: int, w: int, u, v):
+    """Bilinear clamp sample from make_quad_tex2d records."""
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1).astype(jnp.int32)
+    fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+    q = quad[y0 * w + x0]  # (..., 4, c)
+    return (
+        q[..., 0, :] * (1 - fx) * (1 - fy)
+        + q[..., 1, :] * fx * (1 - fy)
+        + q[..., 2, :] * (1 - fx) * fy
+        + q[..., 3, :] * fx * fy
+    )
 
 
 def sample_texture2d_bilinear(tex, u, v, wrap: bool = True):

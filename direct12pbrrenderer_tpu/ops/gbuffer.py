@@ -36,7 +36,7 @@ from . import common, raster
 
 
 class AtlasDevice(NamedTuple):
-    data: jnp.ndarray         # (N,) uint32
+    data: jnp.ndarray         # (N, 4) uint32 quad records (see scene_pack)
     mip_offsets: jnp.ndarray  # (T, MAX_MIPS) int32
     base_size: jnp.ndarray    # (T, 2) int32
     n_mips: jnp.ndarray       # (T,) int32
@@ -72,7 +72,8 @@ def _unpack_rgba(u32):
 
 
 def _sample_mip_bilinear(atlas: AtlasDevice, tex_id, mip, u, v):
-    """Bilinear wrap sample of one mip. tex_id/mip/u/v broadcast together."""
+    """Bilinear wrap sample of one mip: ONE 16-byte quad-record gather per tap
+    (the record holds the full 2x2 neighborhood). Broadcastable args."""
     mip = jnp.minimum(mip, atlas.n_mips[tex_id] - 1)
     w = jnp.maximum(atlas.base_size[tex_id, 0] >> mip, 1)
     h = jnp.maximum(atlas.base_size[tex_id, 1] >> mip, 1)
@@ -86,16 +87,12 @@ def _sample_mip_bilinear(atlas: AtlasDevice, tex_id, mip, u, v):
     fy = (y - y0)[..., None]
     x0 = jnp.mod(x0.astype(jnp.int32), w)
     y0 = jnp.mod(y0.astype(jnp.int32), h)
-    x1 = jnp.mod(x0 + 1, w)
-    y1 = jnp.mod(y0 + 1, h)
 
-    def fetch(yy, xx):
-        return _unpack_rgba(atlas.data[off + yy * w + xx])
-
-    c00 = fetch(y0, x0)
-    c01 = fetch(y0, x1)
-    c10 = fetch(y1, x0)
-    c11 = fetch(y1, x1)
+    quad = atlas.data[off + y0 * w + x0]  # (..., 4) u32
+    c00 = _unpack_rgba(quad[..., 0])
+    c01 = _unpack_rgba(quad[..., 1])
+    c10 = _unpack_rgba(quad[..., 2])
+    c11 = _unpack_rgba(quad[..., 3])
     return (
         c00 * (1 - fx) * (1 - fy)
         + c01 * fx * (1 - fy)

@@ -130,12 +130,13 @@ def bin_triangles(
     cap: int,
     y_offset=0,
 ) -> Bins:
-    """Scatter triangle ids into per-tile lists (stable order).
+    """Compact triangle ids into per-tile lists (stable draw order).
 
-    For each tile, `position = exclusive_cumsum(overlap)` along the triangle
-    axis gives each overlapping triangle its slot; a scatter writes ids into
-    (num_tiles, cap). O(tiles * T) elementwise work — no sort, no atomics
-    (the TPU answer to clustered_culling.hlsl-style compaction loops).
+    The compaction is a per-tile `top_k` over `score = overlap ? T - id : 0`:
+    descending score = ascending triangle id, so each tile's list preserves
+    submission order (the reference's command order). top_k lowers to an
+    efficient partial sort on TPU — far faster than scatter (which lowers to
+    a full sort) and with no atomics (the InterlockedAdd compaction analog).
     """
     num_tiles = tiles_y * tiles_x
     t = setup.aabb.shape[0]
@@ -151,17 +152,13 @@ def bin_triangles(
         ov_y[:, None, :] & ov_x[None, :, :] & setup.valid[None, None, :]
     ).reshape(num_tiles, t)
 
-    pos = jnp.cumsum(overlap, axis=1) - overlap.astype(jnp.int32)  # exclusive
-    counts = jnp.cumsum(overlap, axis=1)[:, -1].astype(jnp.int32)
-
-    write = overlap & (pos < cap)
-    slot = jnp.where(write, pos, cap)  # cap = spill row
-    ids = jnp.full((num_tiles, cap + 1), -1, jnp.int32)
-    tri_ids = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None, :], (num_tiles, t))
-    ids = ids.at[jnp.arange(num_tiles)[:, None], slot].set(
-        jnp.where(write, tri_ids, -1), mode="drop"
-    )
-    return Bins(ids[:, :cap], counts)
+    counts = overlap.sum(axis=1).astype(jnp.int32)
+    score = jnp.where(overlap, t - jnp.arange(t, dtype=jnp.int32)[None, :], 0)
+    if t < cap:  # tiny pools: top_k needs k <= axis size
+        score = jnp.pad(score, ((0, 0), (0, cap - t)))
+    top, _ = jax.lax.top_k(score, cap)
+    ids = jnp.where(top > 0, t - top, -1).astype(jnp.int32)
+    return Bins(ids, counts)
 
 
 @functools.partial(

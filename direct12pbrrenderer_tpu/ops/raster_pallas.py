@@ -1,0 +1,178 @@
+"""Pallas TPU rasterizer kernel — the hot inner loop of the tiled raster.
+
+The pure-XLA `raster.rasterize` materializes (tiles, pixels, chunk) score
+tensors in HBM each scan step and pays full bin capacity for every tile.
+This kernel keeps the whole depth fold in VMEM and uses a *dynamic* per-tile
+trip count (from the bin counters, via scalar prefetch), so a tile crossed by
+200 triangles does ceil(200/chunk) chunk iterations instead of cap/chunk:
+
+  grid = (num_tiles,)
+  scalar prefetch: counts (tiles,), y_offset (1,)
+  inputs per tile (auto-DMA'd/pipelined by Mosaic):
+    rows_t (1, 16, cap)  pre-gathered, transposed triangle rows
+  outputs: zbuf (1, p, 1), idbuf (1, p, 1)
+
+Per chunk the kernel evaluates the three edge functions as (p, 1) x (1, chunk)
+broadcast FMAs on the VPU in fp32, folds depth with masked min/argmin, and
+resolves the winning id with a one-hot select (no in-kernel gathers at all).
+
+Triangle row layout (pack_raster_rows):
+  [ea0,eb0,ec0, ea1,eb1,ec1, ea2,eb2,ec2, zw0,zw1,zw2, id, 0,0,0]
+with zw_i = ndc_z_i * inv_area and the triangle id stored as f32 (exact below
+2^24); invalid/padded triangles get ec0 = -3e38 (never inside). z outside
+[0,1] is rejected in-kernel (the D3D clip planes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import raster
+
+CHUNK = 128  # lane width: dynamic lane offsets must be 128-aligned for Mosaic
+
+
+def pack_raster_rows(setup: raster.TriangleSetup) -> jnp.ndarray:
+    """(T, 16) kernel rows from triangle setup (see module docstring)."""
+    t = setup.edges.shape[0]
+    e = setup.edges.reshape(t, 9)
+    ec0 = jnp.where(setup.valid, e[:, 2], -3e38)
+    zw = setup.z * setup.inv_area[:, None]
+    tri_id = jnp.arange(t, dtype=jnp.float32)[:, None]
+    pad = jnp.zeros((t, 3), jnp.float32)
+    return jnp.concatenate(
+        [e[:, 0:2], ec0[:, None], e[:, 3:9], zw, tri_id, pad], axis=1
+    )
+
+
+def _kernel(counts_ref, yoff_ref, rows_ref, z_out, id_out, *,
+            tile_h, tile_w, tiles_x, cap):
+    tile = pl.program_id(0)
+    p = tile_h * tile_w
+
+    ox = ((tile % tiles_x) * tile_w).astype(jnp.float32)
+    oy = ((tile // tiles_x) * tile_h).astype(jnp.float32) + yoff_ref[0]
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (lin % tile_w).astype(jnp.float32) + 0.5 + ox
+    py = (lin // tile_w).astype(jnp.float32) + 0.5 + oy
+
+    count = jnp.minimum(counts_ref[tile], cap)
+    n_chunks = (count + CHUNK - 1) // CHUNK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def body(c, carry):
+        zbuf, idbuf = carry  # (p, 1)
+        base = pl.multiple_of(c * CHUNK, 128)
+
+        def col(j):
+            return rows_ref[0, j, pl.ds(base, CHUNK)][None, :]  # (1, CHUNK)
+
+        s0 = px * col(0) + py * col(1) + col(2)
+        s1 = px * col(3) + py * col(4) + col(5)
+        s2 = px * col(6) + py * col(7) + col(8)
+        inside = jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0
+        zc = s0 * col(9) + s1 * col(10) + s2 * col(11)
+        ok = inside & (zc >= 0.0) & (zc <= 1.0)
+        zc = jnp.where(ok, zc, jnp.inf)
+
+        best = jnp.argmin(zc, axis=1, keepdims=True)       # (p, 1), first min
+        best_z = jnp.min(zc, axis=1, keepdims=True)        # (p, 1)
+        ids = col(12)                                      # (1, CHUNK) f32 ids
+        sel = jnp.where(best == lane, ids, 0.0).sum(axis=1, keepdims=True)
+
+        upd = best_z < zbuf
+        zbuf = jnp.where(upd, best_z, zbuf)
+        idbuf = jnp.where(upd, sel.astype(jnp.int32), idbuf)
+        return zbuf, idbuf
+
+    init = (
+        jnp.full((p, 1), jnp.inf, jnp.float32),
+        jnp.full((p, 1), -1, jnp.int32),
+    )
+    zbuf, idbuf = jax.lax.fori_loop(0, n_chunks, body, init)
+    z_out[0, :, :] = zbuf
+    id_out[0, :, :] = idbuf
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "interpret"),
+)
+def rasterize_pallas(
+    setup: raster.TriangleSetup,
+    bins: raster.Bins,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    y_offset=0,
+    interpret: bool = False,
+):
+    """Drop-in replacement for raster.rasterize (same outputs)."""
+    tiles_y = height // tile_h
+    tiles_x = width // tile_w
+    num_tiles = tiles_y * tiles_x
+    p = tile_h * tile_w
+    cap = bins.ids.shape[1]
+    assert cap % CHUNK == 0, f"bin cap {cap} must be a multiple of {CHUNK}"
+
+    rows = pack_raster_rows(setup)
+    # pre-gather each tile's triangle rows once (tiles*cap row fetches), so
+    # the kernel streams contiguous blocks with zero in-kernel gathers; the
+    # transpose puts each coefficient on the lane axis
+    bins_rows = rows[jnp.maximum(bins.ids, 0)]  # (tiles, cap, 16)
+    # padding slots: poison ec0 (col 2) so they never win, id -1
+    pad_row = jnp.zeros((16,), jnp.float32).at[2].set(-3e38).at[12].set(-1.0)
+    bins_rows = jnp.where((bins.ids >= 0)[..., None], bins_rows, pad_row)
+    rows_t = bins_rows.transpose(0, 2, 1)       # (tiles, 16, cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 16, cap), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, cap=cap
+    )
+    z_tiles, id_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.minimum(bins.counts, cap),
+        jnp.asarray(y_offset, jnp.float32).reshape(1),
+        rows_t,
+    )
+
+    z_img = (
+        z_tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+    id_img = (
+        id_tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
+        .transpose(0, 2, 1, 3)
+        .reshape(height, width)
+    )
+    z_img = jnp.where(jnp.isinf(z_img), 1.0, z_img)
+    return id_img, z_img

@@ -68,9 +68,9 @@ def deferred_shade(
     depth,                # (H, W) ndc z
     mask,                 # (H, W) bool coverage
     sh_pack,              # (7, 4) SkyBoxSH
-    brdf_lut,             # (S, S, 2)
+    brdf_lut_quad,        # ((S*S, 4, 2) quad records, S) for the split-sum LUT
     prefiltered,          # common.CubeMipAtlas of the 5 prefiltered mips
-    skybox_mip0,          # (6, s, s, 3) for the background
+    skybox,               # common.CubeMipAtlas (1 mip) for the background
     cluster_params,       # (C, 32, 12) from clustered.build_cluster_light_params
     view, inv_view, camera_pos,
     fov, ratio, near, far,
@@ -121,9 +121,8 @@ def deferred_shade(
     env_irr = common.sample_cube_atlas_trilinear(
         prefiltered, refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
     )[..., :3]
-    env_brdf = common.sample_texture2d_bilinear(
-        brdf_lut, roughness, n_dot_v, wrap=False
-    )
+    lut, lut_size = brdf_lut_quad
+    env_brdf = common.sample_quad_tex2d(lut, lut_size, lut_size, roughness, n_dot_v)
     f0 = common.compute_f0(albedo, metallic[..., None])
     env_specular = env_irr * (f0 * env_brdf[..., 0:1] + env_brdf[..., 1:2])
 
@@ -164,5 +163,5 @@ def deferred_shade(
 
     # --- skybox (skybox.hlsl): background pixels sample the cubemap --------
     ray = cam_vec / jnp.maximum(jnp.linalg.norm(cam_vec, axis=-1, keepdims=True), 1e-20)
-    sky = common.sample_cubemap_bilinear(skybox_mip0, ray)[..., :3]
+    sky = common._cube_atlas_bilinear(skybox, ray, jnp.int32(0))[..., :3]
     return jnp.where(mask[..., None], lit, sky)

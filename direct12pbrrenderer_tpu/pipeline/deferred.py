@@ -32,7 +32,7 @@ from ..config import (
 )
 from ..graph import frame_graph as fg
 from ..ops import bloom as bloom_ops
-from ..ops import clustered, common, gbuffer, ibl, postprocess, raster, shading
+from ..ops import clustered, common, gbuffer, ibl, postprocess, raster, raster_pallas, shading
 from ..scene.camera import Camera
 from ..scene.scene import Scene
 from ..utils import sh as sh_mod
@@ -58,6 +58,7 @@ class DeferredRenderPipeline:
         atlas_max_dim: int | None = 1024,
         prefilter_size: int | None = None,
         brdf_lut_size: int = BRDF_LUT_SIZE,
+        use_pallas: bool | None = None,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -67,6 +68,9 @@ class DeferredRenderPipeline:
                 f"{tile_w}x{tile_h}"
             )
         self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu",)
+        self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
         self.scene = scene
         self.packed: PackedScene = pack_scene(scene, cfg, atlas_max_dim)
 
@@ -87,7 +91,7 @@ class DeferredRenderPipeline:
             self.prefiltered = CubeMipAtlas(
                 ibl.prefilter_env_map(tuple(src), out_size=size)
             )
-            self.skybox_mip0 = base
+            self.skybox_mip0 = CubeMipAtlas([base])
             self.sh_pack = jnp.asarray(cube.sh.as_array())
         else:
             size = prefilter_size or 64
@@ -96,7 +100,7 @@ class DeferredRenderPipeline:
                 for m in range(PREFILTER_ENVMAP_MIP_LEVELS)
             ]
             self.prefiltered = CubeMipAtlas(zeros)
-            self.skybox_mip0 = jnp.zeros((6, 8, 8, 3), jnp.float32)
+            self.skybox_mip0 = CubeMipAtlas([jnp.zeros((6, 8, 8, 3), jnp.float32)])
             self.sh_pack = jnp.zeros((7, 4), jnp.float32)
 
         self.cluster_bounds = jnp.asarray(
@@ -136,7 +140,9 @@ class DeferredRenderPipeline:
             # they live once in HBM instead of being baked into the executable
             "ClusterBounds": self.cluster_bounds,
             "SkyBoxSH": self.sh_pack,
-            "PrecomputeBRDF": self.brdf_lut,
+            "PrecomputeBRDF": (
+                common.make_quad_tex2d(self.brdf_lut), self.brdf_lut.shape[0]
+            ),
             "PrefilterEnvMap": self.prefiltered,
             "SkyBoxTexture": self.skybox_mip0,
         }
@@ -183,9 +189,14 @@ class DeferredRenderPipeline:
                 setup, h // self.tile_h, w // self.tile_w,
                 self.tile_h, self.tile_w, self.bin_cap,
             )
-            tri_id, depth = raster.rasterize(
-                setup, bins, w, h, self.tile_h, self.tile_w
-            )
+            if self.use_pallas:
+                tri_id, depth = raster_pallas.rasterize_pallas(
+                    setup, bins, w, h, self.tile_h, self.tile_w
+                )
+            else:
+                tri_id, depth = raster.rasterize(
+                    setup, bins, w, h, self.tile_h, self.tile_w
+                )
             tri_rows = jnp.concatenate(
                 [raster.pack_pixel_data(setup), env["mat_rows"][env["tri_material"]]],
                 axis=1,

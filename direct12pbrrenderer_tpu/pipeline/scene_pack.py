@@ -45,9 +45,14 @@ class MaterialTable:
 
 @dataclass
 class TextureAtlas:
-    """All scene textures packed into one u32 RGBA pool (mips inline)."""
+    """All scene textures packed into one u32 RGBA pool (mips inline).
 
-    data: np.ndarray          # (N,) uint32, R | G<<8 | B<<16 | A<<24
+    `data` stores, for every texel, its 2x2 wrap-addressed bilinear
+    neighborhood [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] as one 16-byte record —
+    the software analog of a texture unit's neighborhood fetch: a bilinear
+    tap costs ONE gather instead of four (4x memory, 4x fewer fetches)."""
+
+    data: np.ndarray          # (N, 4) uint32, R | G<<8 | B<<16 | A<<24
     mip_offsets: np.ndarray   # (T, MAX_MIPS) int64 flat offsets (clamped to last mip)
     base_size: np.ndarray     # (T, 2) int32 (w, h)
     n_mips: np.ndarray        # (T,) int32
@@ -56,7 +61,7 @@ class TextureAtlas:
     @classmethod
     def empty(cls) -> "TextureAtlas":
         return cls(
-            np.zeros(4, np.uint32),
+            np.zeros((4, 4), np.uint32),
             np.zeros((1, MAX_MIPS), np.int64),
             np.ones((1, 2), np.int32),
             np.ones(1, np.int32),
@@ -149,9 +154,13 @@ def _texture_to_rgba_u32_mips(tex: TextureData, max_dim: int | None) -> list[np.
             | (rgba[..., 2].astype(np.uint32) << 16)
             | (rgba[..., 3].astype(np.uint32) << 24)
         )
-        mips.append(packed)
+        # quad record: texel + its wrap-addressed right/down/diag neighbors
+        right = np.roll(packed, -1, axis=1)
+        down = np.roll(packed, -1, axis=0)
+        diag = np.roll(right, -1, axis=0)
+        mips.append(np.stack([packed, right, down, diag], axis=-1))
     if not mips:  # texture smaller than max_dim filter edge case
-        mips.append(np.zeros((1, 1), np.uint32))
+        mips.append(np.zeros((1, 1, 4), np.uint32))
     return mips
 
 
@@ -174,8 +183,8 @@ class _AtlasBuilder:
         offs = []
         for m in mips:
             offs.append(self.cursor)
-            self.chunks.append(m.ravel())
-            self.cursor += m.size
+            self.chunks.append(m.reshape(-1, 4))
+            self.cursor += m.shape[0] * m.shape[1]
         tid = len(self.sizes)
         self.offsets.append(offs)
         self.sizes.append((mips[0].shape[1], mips[0].shape[0]))
@@ -193,7 +202,7 @@ class _AtlasBuilder:
             for m in range(MAX_MIPS):
                 off[i, m] = o[min(m, len(o) - 1)]
         return TextureAtlas(
-            np.concatenate(self.chunks).astype(np.uint32),
+            np.concatenate(self.chunks, axis=0).astype(np.uint32),
             off,
             np.asarray(self.sizes, np.int32),
             np.asarray(self.mips, np.int32),

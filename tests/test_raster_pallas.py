@@ -1,0 +1,57 @@
+"""Pallas raster kernel must match the XLA rasterizer exactly (interpret mode
+on CPU; the TPU path is exercised by bench/app runs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from direct12pbrrenderer_tpu.ops import raster, raster_pallas
+
+
+def _scene(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    # random small triangles across ndc, CW-in-screen enforced by validity
+    c = rng.uniform(-1, 1, (n, 1, 3)).astype(np.float32)
+    d = rng.uniform(-0.2, 0.2, (n, 2, 3)).astype(np.float32)
+    v = np.concatenate([c, c + d], axis=1)  # (n, 3, 3)
+    v[..., 2] = rng.uniform(0.05, 0.95, (n, 3))
+    verts = v.reshape(-1, 3)
+    w = np.ones((len(verts), 1), np.float32)
+    clip = np.concatenate([verts * w, w], axis=1).astype(np.float32)
+    tris = np.arange(n * 3, dtype=np.int32).reshape(n, 3)
+    return jnp.asarray(clip), jnp.asarray(tris)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_xla(seed):
+    w, h, tile_h, tile_w, cap = 256, 192, 24, 128, 128
+    clip, tris = _scene(300, seed)
+    setup = raster.setup_triangles(clip, tris, jnp.ones(tris.shape[0], bool), w, h)
+    bins = raster.bin_triangles(setup, h // tile_h, w // tile_w, tile_h, tile_w, cap)
+    ids_ref, z_ref = raster.rasterize(setup, bins, w, h, tile_h, tile_w)
+    ids_pl, z_pl = raster_pallas.rasterize_pallas(
+        setup, bins, w, h, tile_h, tile_w, interpret=True
+    )
+    ids_pl, ids_ref = np.asarray(ids_pl), np.asarray(ids_ref)
+    # FMA re-association can flip the winner where two triangles cross at
+    # (numerically) identical depth; everything else must agree exactly
+    mismatch = ids_pl != ids_ref
+    assert mismatch.mean() < 1e-4, f"{mismatch.sum()} id mismatches"
+    agree = ~mismatch
+    np.testing.assert_allclose(
+        np.asarray(z_pl)[agree], np.asarray(z_ref)[agree], atol=1e-4
+    )
+
+
+def test_pallas_dynamic_count_correct():
+    """Bins mostly empty: the dynamic trip count must not skip real work."""
+    w, h, tile_h, tile_w, cap = 256, 192, 24, 128, 256
+    clip, tris = _scene(5)
+    setup = raster.setup_triangles(clip, tris, jnp.ones(tris.shape[0], bool), w, h)
+    bins = raster.bin_triangles(setup, h // tile_h, w // tile_w, tile_h, tile_w, cap)
+    ids_ref, _ = raster.rasterize(setup, bins, w, h, tile_h, tile_w)
+    ids_pl, _ = raster_pallas.rasterize_pallas(
+        setup, bins, w, h, tile_h, tile_w, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ids_pl), np.asarray(ids_ref))
+    assert (np.asarray(ids_pl) >= 0).sum() > 0
