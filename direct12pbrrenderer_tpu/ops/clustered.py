@@ -144,6 +144,39 @@ def build_cluster_light_params(
     return params
 
 
+def build_active_lights(
+    light_pos, light_color, light_intensity, light_attenuation, light_valid,
+    view, max_active: int,
+):
+    """Compact the visible lights into (max_active, 14) rows for the shading
+    loop: [pos_w(3), color(3), intensity, kc, kl, kq, pos_view(3), cull_r].
+    Index order preserved (cap-truncation semantics follow light order, like
+    the reference's sequential culling loop). Padding rows have cull_r = 0.
+    """
+    l = light_pos.shape[0]
+    ph = jnp.concatenate([light_pos, jnp.ones_like(light_pos[:, :1])], -1)
+    pos_view = jnp.dot(ph, view.T, precision=jax.lax.Precision.HIGHEST)[:, :3]
+    cull_r = (
+        light_attenuation[:, 0] * CULLING_RADIUS_COEFFICIENT
+        * jnp.sqrt(jnp.maximum(light_intensity, 0.0))
+    )
+    rows = jnp.concatenate(
+        [
+            light_pos, light_color, light_intensity[:, None],
+            light_attenuation[:, 1:4], pos_view,
+            jnp.where(light_valid, cull_r, 0.0)[:, None],
+        ],
+        axis=1,
+    )  # (L, 14)
+    score = jnp.where(light_valid, l - jnp.arange(l, dtype=jnp.int32), 0)
+    if l < max_active:
+        score = jnp.pad(score, (0, max_active - l))
+    top, _ = jax.lax.top_k(score, max_active)
+    ids = jnp.where(top > 0, l - top, 0)
+    out = rows[jnp.minimum(ids, l - 1)]
+    return jnp.where((top > 0)[:, None], out, 0.0)
+
+
 def cluster_index_image(uv_x, uv_y, z_view, near: float, far: float):
     """Per-pixel cluster index (clustered.hlsli:45-59). uv origin top-left."""
     sx = jnp.clip(jnp.floor(uv_x * CLUSTER_X), 0, CLUSTER_X - 1).astype(jnp.int32)

@@ -21,7 +21,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import MAX_LIGHTS_PER_CLUSTER, PREFILTER_ENVMAP_MIP_LEVELS
+from ..config import MAX_LIGHTS_PER_CLUSTER, PREFILTER_ENVMAP_MIP_LEVELS  # noqa: F401
 from . import clustered, common
 
 
@@ -71,8 +71,9 @@ def deferred_shade(
     brdf_lut_quad,        # ((S*S, 4, 2) quad records, S) for the split-sum LUT
     prefiltered,          # common.CubeMipAtlas of the 5 prefiltered mips
     skybox,               # common.CubeMipAtlas (1 mip) for the background
-    cluster_params,       # (C, 32, 12) from clustered.build_cluster_light_params
-    view, inv_view, camera_pos,
+    cluster_bounds_t,     # (6, C) transposed view-space cluster AABBs
+    active_lights,        # (N_active, 14) from clustered.build_active_lights
+    inv_view, camera_pos,
     fov, ratio, near, far,
     width: int,
     height: int,
@@ -127,6 +128,13 @@ def deferred_shade(
     env_specular = env_irr * (f0 * env_brdf[..., 0:1] + env_brdf[..., 1:2])
 
     # --- clustered point lights (deferred_shading.hlsl:158-186) ------------
+    # Evaluated as a fori_loop over the compacted active lights with pure
+    # (H, W) carries: materializing per-pixel light lists at 1080p costs
+    # multi-GB after TPU minor-dim padding, while N_active sequential
+    # VPU-elementwise steps are cheap. Cluster membership (the reference's
+    # per-cluster list) is re-derived per pixel from the light-vs-cluster
+    # sphere/AABB test + a running <32 counter — same set, same index order,
+    # same cap semantics as clustered_culling.hlsl.
     fh = full_height if full_height is not None else height
     u = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
     v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y_offset) / fh
@@ -134,29 +142,44 @@ def deferred_shade(
         jnp.broadcast_to(u, depth.shape), jnp.broadcast_to(v, depth.shape),
         z_view, near, far,
     )
-    lp = cluster_params[cidx]  # (H, W, 32, 12) — ONE contiguous row gather
-    lpos = lp[..., 0:3]
-    lcolor = lp[..., 3:6]
-    lintensity = lp[..., 6]
-    kc, kl, kq = lp[..., 7], lp[..., 8], lp[..., 9]
-    lvalid = lp[..., 10] > 0.5
+    # per-pixel cluster AABB (view space): 6 aligned (H, W) gathers, once
+    cb = cluster_bounds_t  # (6, C): minx,miny,minz,maxx,maxy,maxz
+    cmin = jnp.stack([cb[0][cidx], cb[1][cidx], cb[2][cidx]], -1)
+    cmax = jnp.stack([cb[3][cidx], cb[4][cidx], cb[5][cidx]], -1)
 
-    ldir = lpos - position[..., None, :]
-    dist = jnp.linalg.norm(ldir, axis=-1)
-    ldir = ldir / jnp.maximum(dist[..., None], 1e-20)
-    n_dot_l = jnp.maximum((normal[..., None, :] * ldir).sum(-1), 0.0)
+    n_active = active_lights.shape[0]
 
-    attenuation = 1.0 / jnp.maximum(kc + kl * dist + kq * dist * dist, common.EPSILON)
-    f = common.brdf(
-        albedo[..., None, :],
-        metallic[..., None],
-        roughness[..., None],
-        normal[..., None, :],
-        view_dir[..., None, :],
-        ldir,
+    def light_step(s, carry):
+        acc, counter = carry
+        lp = active_lights[s]  # (14,) scalar row via dynamic index
+        pos_w = lp[0:3]
+        color = lp[3:6]
+        intensity = lp[6]
+        kc, kl, kq = lp[7], lp[8], lp[9]
+        pos_view = lp[10:13]
+        cull_r = lp[13]
+
+        closest = jnp.clip(pos_view, cmin, cmax)
+        d2 = ((pos_view - closest) ** 2).sum(-1)
+        hit = (d2 < cull_r * cull_r) & (counter < MAX_LIGHTS_PER_CLUSTER)
+
+        ldir = pos_w - position
+        dist = jnp.linalg.norm(ldir, axis=-1)
+        ldir = ldir / jnp.maximum(dist[..., None], 1e-20)
+        n_dot_l = jnp.maximum((normal * ldir).sum(-1), 0.0)
+        attenuation = 1.0 / jnp.maximum(
+            kc + kl * dist + kq * dist * dist, common.EPSILON
+        )
+        f = common.brdf(albedo, metallic, roughness, normal, view_dir, ldir)
+        contrib = f * (color * (intensity * attenuation * n_dot_l)[..., None])
+        acc = acc + jnp.where(hit[..., None], contrib, 0.0)
+        return acc, counter + hit.astype(jnp.int32)
+
+    point_light, _ = jax.lax.fori_loop(
+        0, n_active, light_step,
+        (jnp.zeros(depth.shape + (3,), jnp.float32),
+         jnp.zeros(depth.shape, jnp.int32)),
     )
-    radiance = lcolor * (lintensity * attenuation * n_dot_l)[..., None]
-    point_light = jnp.where(lvalid[..., None], f * radiance, 0.0).sum(-2)
 
     emission_lum = albedo * emission[..., None]
     lit = env_diffuse + env_specular + point_light + emission_lum

@@ -88,20 +88,16 @@ def build_sharded_frame(
             buffers["atlas"], w, band_h, y_offset=y0,
         )
 
-        lists, _counts = clustered.cull_lights_to_clusters(
-            buffers["ClusterBounds"], view, buffers["light_pos"],
-            buffers["light_attenuation"][:, 0], buffers["light_intensity"],
-            light_valid,
-        )
-        cluster_params = clustered.build_cluster_light_params(
-            lists, buffers["light_pos"], buffers["light_color"],
+        active = clustered.build_active_lights(
+            buffers["light_pos"], buffers["light_color"],
             buffers["light_intensity"], buffers["light_attenuation"],
+            light_valid, view, 64,
         )
         rt_band = shading.deferred_shade(
             gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth, gb.mask,
             buffers["SkyBoxSH"], buffers["PrecomputeBRDF"], buffers["PrefilterEnvMap"],
-            buffers["SkyBoxTexture"], cluster_params,
-            view, inv_view, camera_pos,
+            buffers["SkyBoxTexture"], buffers["ClusterBoundsT"], active,
+            inv_view, camera_pos,
             config.fov, config.ratio, config.near, config.far,
             w, band_h, y_offset=y0, full_height=h,
         )

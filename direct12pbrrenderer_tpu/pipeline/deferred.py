@@ -59,6 +59,7 @@ class DeferredRenderPipeline:
         prefilter_size: int | None = None,
         brdf_lut_size: int = BRDF_LUT_SIZE,
         use_pallas: bool | None = None,
+        max_active_lights: int = 64,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -68,6 +69,7 @@ class DeferredRenderPipeline:
                 f"{tile_w}x{tile_h}"
             )
         self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
+        self.max_active_lights = max_active_lights
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
@@ -139,6 +141,9 @@ class DeferredRenderPipeline:
             # precompute products passed as arguments (not jit constants) so
             # they live once in HBM instead of being baked into the executable
             "ClusterBounds": self.cluster_bounds,
+            "ClusterBoundsT": jnp.concatenate(
+                [self.cluster_bounds[:, 0].T, self.cluster_bounds[:, 1].T], axis=0
+            ),
             "SkyBoxSH": self.sh_pack,
             "PrecomputeBRDF": (
                 common.make_quad_tex2d(self.brdf_lut), self.brdf_lut.shape[0]
@@ -158,19 +163,13 @@ class DeferredRenderPipeline:
         w, h = cfg.width, cfg.height
 
         def clustered_pass(env):
-            lists, counts = clustered.cull_lights_to_clusters(
-                env["ClusterBounds"],
-                env["View"],
-                env["light_pos"],
-                env["light_attenuation"][:, 0],
-                env["light_intensity"],
-                env["LightValid"],
+            active = clustered.build_active_lights(
+                env["light_pos"], env["light_color"], env["light_intensity"],
+                env["light_attenuation"], env["LightValid"], env["View"],
+                self.max_active_lights,
             )
-            params = clustered.build_cluster_light_params(
-                lists, env["light_pos"], env["light_color"],
-                env["light_intensity"], env["light_attenuation"],
-            )
-            return {"FrustumCluster": params, "PointLights": counts}
+            return {"FrustumCluster": (env["ClusterBoundsT"], active),
+                    "PointLights": active[:, 13] > 0}
 
         def gbuffer_pass(env):
             model = env["ModelMats"]
@@ -215,11 +214,12 @@ class DeferredRenderPipeline:
 
         def deferred_pass(env):
             depth, mask = env["GBufferDepthStencil"]
+            bounds_t, active = env["FrustumCluster"]
             rt = shading.deferred_shade(
                 env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask,
                 env["SkyBoxSH"], env["PrecomputeBRDF"], env["PrefilterEnvMap"],
-                env["SkyBoxTexture"], env["FrustumCluster"],
-                env["View"], env["InvView"], env["CameraPos"],
+                env["SkyBoxTexture"], bounds_t, active,
+                env["InvView"], env["CameraPos"],
                 cfg.fov, cfg.ratio, cfg.near, cfg.far, w, h,
             )
             return {"DeferredShadingRT": rt}
@@ -275,7 +275,7 @@ class DeferredRenderPipeline:
                 "DeferredShading",
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
                  "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
-                 "FrustumCluster", "View", "InvView", "CameraPos"),
+                 "FrustumCluster", "InvView", "CameraPos"),
                 ("DeferredShadingRT",),
                 deferred_pass,
             ),
