@@ -135,17 +135,54 @@ def deferred_shade(
     # per-cluster list) is re-derived per pixel from the light-vs-cluster
     # sphere/AABB test + a running <32 counter — same set, same index order,
     # same cap semantics as clustered_culling.hlsl.
+    import math
+
     fh = full_height if full_height is not None else height
     u = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
     v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y_offset) / fh
-    cidx = clustered.cluster_index_image(
-        jnp.broadcast_to(u, depth.shape), jnp.broadcast_to(v, depth.shape),
-        z_view, near, far,
+    # per-pixel cluster AABB in closed form (clustered_compute.hlsl:21-42
+    # evaluated directly) — zero table fetches (random gathers cost ~25ns each
+    # on TPU; pure VPU math is free by comparison). cluster_bounds_t is kept
+    # in the signature for the graph/tests but unused here.
+    del cluster_bounds_t
+    sx = jnp.clip(jnp.floor(u * clustered.CLUSTER_X), 0, clustered.CLUSTER_X - 1)
+    sy = jnp.clip(
+        jnp.floor((1.0 - v) * clustered.CLUSTER_Y), 0, clustered.CLUSTER_Y - 1
     )
-    # per-pixel cluster AABB (view space): 6 aligned (H, W) gathers, once
-    cb = cluster_bounds_t  # (6, C): minx,miny,minz,maxx,maxy,maxz
-    cmin = jnp.stack([cb[0][cidx], cb[1][cidx], cb[2][cidx]], -1)
-    cmax = jnp.stack([cb[3][cidx], cb[4][cidx], cb[5][cidx]], -1)
+    zc_ = jnp.clip(z_view, near, far)
+    szf = jnp.clip(
+        jnp.floor(clustered.CLUSTER_Z * jnp.log(zc_ / near) / math.log(far / near)),
+        0,
+        clustered.CLUSTER_Z - 1,
+    )
+    sx = jnp.broadcast_to(sx, depth.shape)
+    sy = jnp.broadcast_to(sy, depth.shape)
+    tan_half = math.tan(fov / 2.0)
+    znear_c = near * (far / near) ** (szf / clustered.CLUSTER_Z)
+    zfar_c = near * (far / near) ** ((szf + 1) / clustered.CLUSTER_Z)
+
+    def corner(ndc_x, ndc_y, vz):
+        # zplane_intersection: ray to near-plane ndc point, scaled to z = vz
+        return (ndc_x * ratio * tan_half * vz, ndc_y * tan_half * vz)
+
+    min_ndc_x = 2.0 * sx / clustered.CLUSTER_X - 1.0
+    min_ndc_y = 2.0 * sy / clustered.CLUSTER_Y - 1.0
+    max_ndc_x = 2.0 * (sx + 1) / clustered.CLUSTER_X - 1.0
+    max_ndc_y = 2.0 * (sy + 1) / clustered.CLUSTER_Y - 1.0
+    xa, ya = corner(min_ndc_x, min_ndc_y, znear_c)
+    xb, yb = corner(min_ndc_x, min_ndc_y, zfar_c)
+    xc, yc = corner(max_ndc_x, max_ndc_y, znear_c)
+    xd, yd = corner(max_ndc_x, max_ndc_y, zfar_c)
+    cmin = jnp.stack(
+        [jnp.minimum(jnp.minimum(xa, xb), jnp.minimum(xc, xd)),
+         jnp.minimum(jnp.minimum(ya, yb), jnp.minimum(yc, yd)),
+         znear_c], -1,
+    )
+    cmax = jnp.stack(
+        [jnp.maximum(jnp.maximum(xa, xb), jnp.maximum(xc, xd)),
+         jnp.maximum(jnp.maximum(ya, yb), jnp.maximum(yc, yd)),
+         zfar_c], -1,
+    )
 
     n_active = active_lights.shape[0]
 
