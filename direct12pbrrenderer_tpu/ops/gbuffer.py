@@ -168,18 +168,31 @@ def gbuffer_shade(
     vidx = tris[tid]  # (H, W, 3)
     attrs = vertex_attrs[vidx]  # (H, W, 3, 8) — contiguous per-vertex rows
     interp = (attrs * lam_p[..., None]).sum(-2)  # (H, W, 8)
+    return _shade_from_interp(interp, row[..., 16:32], mask, depth, atlas)
+
+
+def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice) -> GBuffer:
+    """G-buffer from the Pallas interpolation kernel's (24, H, W) planes —
+    zero per-pixel attribute gathers (only the texture-atlas taps remain)."""
+    mask = tri_id >= 0
+    interp = jnp.moveaxis(planes[0:8], 0, -1)   # (H, W, 8)
+    matrow = jnp.moveaxis(planes[8:24], 0, -1)  # (H, W, 16)
+    return _shade_from_interp(interp, matrow, mask, depth, atlas)
+
+
+def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice) -> GBuffer:
     uv = interp[..., 0:2]
     nrm = interp[..., 2:5]
     tan = interp[..., 5:8]
     nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-20)
     tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
 
-    mat_albedo = row[..., 16:19]
-    mat_emission = row[..., 19]
-    mat_roughness = row[..., 20]
-    mat_metallic = row[..., 21]
-    use = row[..., 22:27] > 0.5
-    tex = jnp.maximum(row[..., 27:32].astype(jnp.int32), 0)
+    mat_albedo = matrow[..., 0:3]
+    mat_emission = matrow[..., 3]
+    mat_roughness = matrow[..., 4]
+    mat_metallic = matrow[..., 5]
+    use = matrow[..., 6:11] > 0.5
+    tex = jnp.maximum(matrow[..., 11:16].astype(jnp.int32), 0)
 
     # uv derivatives -> per-texture LOD (texel-space gradient length, log2).
     # All five material slots sample through ONE vectorized trilinear call

@@ -32,7 +32,7 @@ from ..config import (
 )
 from ..graph import frame_graph as fg
 from ..ops import bloom as bloom_ops
-from ..ops import clustered, common, gbuffer, ibl, postprocess, raster, raster_pallas, shading
+from ..ops import clustered, common, gbuffer, ibl, interp_pallas, postprocess, raster, raster_pallas, shading
 from ..scene.camera import Camera
 from ..scene.scene import Scene
 from ..utils import sh as sh_mod
@@ -59,6 +59,7 @@ class DeferredRenderPipeline:
         prefilter_size: int | None = None,
         brdf_lut_size: int = BRDF_LUT_SIZE,
         use_pallas: bool | None = None,
+        use_pallas_interp: bool = False,
         max_active_lights: int = 64,
     ):
         self.config = config or RenderConfig()
@@ -70,6 +71,7 @@ class DeferredRenderPipeline:
             )
         self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
         self.max_active_lights = max_active_lights
+        self.use_pallas_interp = use_pallas_interp
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
@@ -188,6 +190,7 @@ class DeferredRenderPipeline:
                 setup, h // self.tile_h, w // self.tile_w,
                 self.tile_h, self.tile_w, self.bin_cap,
             )
+            vattrs = gbuffer.pack_vertex_attrs(env["uvs"], nrm_ws, tan_ws)
             if self.use_pallas:
                 tri_id, depth = raster_pallas.rasterize_pallas(
                     setup, bins, w, h, self.tile_h, self.tile_w
@@ -196,14 +199,26 @@ class DeferredRenderPipeline:
                 tri_id, depth = raster.rasterize(
                     setup, bins, w, h, self.tile_h, self.tile_w
                 )
-            tri_rows = jnp.concatenate(
-                [raster.pack_pixel_data(setup), env["mat_rows"][env["tri_material"]]],
-                axis=1,
-            )
-            vattrs = gbuffer.pack_vertex_attrs(env["uvs"], nrm_ws, tan_ws)
-            gb = gbuffer.gbuffer_shade(
-                tri_id, depth, tri_rows, env["tris"], vattrs, env["atlas"], w, h,
-            )
+            if self.use_pallas_interp:
+                # measured slightly net-negative at 1080p (coherent per-pixel
+                # row gathers are cheaper than modeled); kept as groundwork
+                # for the fused texture-cache kernel (docs/PERF.md)
+                rows64 = interp_pallas.pack_interp_rows(
+                    setup, vattrs, env["tris"], env["mat_rows"], env["tri_material"]
+                )
+                planes = interp_pallas.interpolate_pallas(
+                    tri_id, rows64, bins, w, h, self.tile_h, self.tile_w
+                )
+                gb = gbuffer.gbuffer_shade_planar(tri_id, depth, planes, env["atlas"])
+            else:
+                tri_rows = jnp.concatenate(
+                    [raster.pack_pixel_data(setup),
+                     env["mat_rows"][env["tri_material"]]],
+                    axis=1,
+                )
+                gb = gbuffer.gbuffer_shade(
+                    tri_id, depth, tri_rows, env["tris"], vattrs, env["atlas"], w, h,
+                )
             return {
                 "GBufferA": gb.albedo_emission,
                 "GBufferB": gb.normal_oct,
