@@ -101,14 +101,23 @@ def _sample_mip_bilinear(atlas: AtlasDevice, tex_id, mip, u, v):
     )
 
 
-def sample_atlas_trilinear(atlas: AtlasDevice, tex_id, u, v, lod):
-    """LinearWrap + trilinear mip filtering, sRGB-linearized when flagged."""
+def sample_atlas_trilinear(atlas: AtlasDevice, tex_id, u, v, lod,
+                           filter: str = "trilinear"):
+    """LinearWrap mip filtering, sRGB-linearized when flagged.
+
+    filter="trilinear" is the reference parity path (two mip taps);
+    "bilinear" snaps to the nearest mip (one tap — a documented speed knob,
+    texture fetches are ~64% of the frame; see docs/PERF.md)."""
     lod = jnp.clip(lod, 0.0, (atlas.n_mips[tex_id] - 1).astype(jnp.float32))
-    m0 = jnp.floor(lod).astype(jnp.int32)
-    frac = (lod - m0)[..., None]
-    c0 = _sample_mip_bilinear(atlas, tex_id, m0, u, v)
-    c1 = _sample_mip_bilinear(atlas, tex_id, m0 + 1, u, v)
-    c = c0 * (1 - frac) + c1 * frac
+    if filter == "bilinear":
+        m0 = jnp.round(lod).astype(jnp.int32)
+        c = _sample_mip_bilinear(atlas, tex_id, m0, u, v)
+    else:
+        m0 = jnp.floor(lod).astype(jnp.int32)
+        frac = (lod - m0)[..., None]
+        c0 = _sample_mip_bilinear(atlas, tex_id, m0, u, v)
+        c1 = _sample_mip_bilinear(atlas, tex_id, m0 + 1, u, v)
+        c = c0 * (1 - frac) + c1 * frac
     lin = common.srgb_eotf(c[..., :3])
     rgb = jnp.where(atlas.srgb[tex_id][..., None], lin, c[..., :3])
     return jnp.concatenate([rgb, c[..., 3:]], -1)
@@ -140,7 +149,9 @@ def _quantize8(x):
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * (1.0 / 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "texture_filter")
+)
 def gbuffer_shade(
     tri_id,       # (H, W) int32 from rasterize
     depth,        # (H, W) f32
@@ -151,6 +162,7 @@ def gbuffer_shade(
     width: int,
     height: int,
     y_offset=0,
+    texture_filter: str = "trilinear",
 ) -> GBuffer:
     mask = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
@@ -168,19 +180,22 @@ def gbuffer_shade(
     vidx = tris[tid]  # (H, W, 3)
     attrs = vertex_attrs[vidx]  # (H, W, 3, 8) — contiguous per-vertex rows
     interp = (attrs * lam_p[..., None]).sum(-2)  # (H, W, 8)
-    return _shade_from_interp(interp, row[..., 16:32], mask, depth, atlas)
+    return _shade_from_interp(interp, row[..., 16:32], mask, depth, atlas,
+                              texture_filter)
 
 
-def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice) -> GBuffer:
+def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
+                         texture_filter: str = "trilinear") -> GBuffer:
     """G-buffer from the Pallas interpolation kernel's (24, H, W) planes —
     zero per-pixel attribute gathers (only the texture-atlas taps remain)."""
     mask = tri_id >= 0
     interp = jnp.moveaxis(planes[0:8], 0, -1)   # (H, W, 8)
     matrow = jnp.moveaxis(planes[8:24], 0, -1)  # (H, W, 16)
-    return _shade_from_interp(interp, matrow, mask, depth, atlas)
+    return _shade_from_interp(interp, matrow, mask, depth, atlas, texture_filter)
 
 
-def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice) -> GBuffer:
+def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
+                       texture_filter: str = "trilinear") -> GBuffer:
     uv = interp[..., 0:2]
     nrm = interp[..., 2:5]
     tan = interp[..., 5:8]
@@ -205,7 +220,7 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice) -> GBuff
     lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
 
     samples = sample_atlas_trilinear(
-        atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5
+        atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5, filter=texture_filter
     )  # (H, W, 5, 4)
     albedo_tex = samples[..., 0, :3]
     normal_tex = samples[..., 1, :3]

@@ -60,6 +60,7 @@ class DeferredRenderPipeline:
         brdf_lut_size: int = BRDF_LUT_SIZE,
         use_pallas: bool | None = None,
         use_pallas_interp: bool = False,
+        texture_filter: str = "trilinear",
         max_active_lights: int = 64,
     ):
         self.config = config or RenderConfig()
@@ -72,6 +73,7 @@ class DeferredRenderPipeline:
         self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
         self.max_active_lights = max_active_lights
         self.use_pallas_interp = use_pallas_interp
+        self.texture_filter = texture_filter
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
@@ -209,7 +211,9 @@ class DeferredRenderPipeline:
                 planes = interp_pallas.interpolate_pallas(
                     tri_id, rows64, bins, w, h, self.tile_h, self.tile_w
                 )
-                gb = gbuffer.gbuffer_shade_planar(tri_id, depth, planes, env["atlas"])
+                gb = gbuffer.gbuffer_shade_planar(
+                    tri_id, depth, planes, env["atlas"], self.texture_filter
+                )
             else:
                 tri_rows = jnp.concatenate(
                     [raster.pack_pixel_data(setup),
@@ -217,7 +221,8 @@ class DeferredRenderPipeline:
                     axis=1,
                 )
                 gb = gbuffer.gbuffer_shade(
-                    tri_id, depth, tri_rows, env["tris"], vattrs, env["atlas"], w, h,
+                    tri_id, depth, tri_rows, env["tris"], vattrs, env["atlas"],
+                    w, h, texture_filter=self.texture_filter,
                 )
             return {
                 "GBufferA": gb.albedo_emission,
