@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--asset-root", default="/root/reference/DeferredRendering")
+    ap.add_argument("--texture-filter", default="trilinear",
+                    choices=["trilinear", "bilinear"])
     ap.add_argument(
         "--smoke", action="store_true",
         help="tiny synthetic scene + small frame (CI / CPU smoke run)",
@@ -53,6 +55,13 @@ def main():
                 tile_w=128,
             )
         )
+        if args.texture_filter != "trilinear":
+            from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+            app.pipeline = DeferredRenderPipeline(
+                app.scene, app.pipeline.config, tile_h=24, tile_w=128,
+                bin_cap=2048, texture_filter=args.texture_filter,
+            )
         pipe, cam, frames = app.pipeline, app.camera, args.frames
 
     # warmup / compile (2 frames: first compiles, second confirms steady state)

@@ -22,7 +22,7 @@ whole thing traces into a single fused frame function.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 

@@ -13,8 +13,6 @@ Cluster grid: 24 x 16 x 8, z-major-contiguous index (clustered.hlsli:39-43),
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,13 +18,10 @@ this scale; texture-atlas sharding over a second axis is the growth path).
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..ops import bloom as bloom_ops

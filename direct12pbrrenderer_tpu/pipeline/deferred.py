@@ -17,7 +17,6 @@ program; the average-luminance EMA is threaded as an explicit carry.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -35,7 +34,6 @@ from ..ops import bloom as bloom_ops
 from ..ops import clustered, common, gbuffer, ibl, interp_pallas, postprocess, raster, raster_pallas, shading
 from ..scene.camera import Camera
 from ..scene.scene import Scene
-from ..utils import sh as sh_mod
 from .scene_pack import PackedScene, pack_scene
 
 

@@ -18,14 +18,14 @@ uploaded arrays (matrices + visibility mask), never shapes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
 from ..config import RenderConfig
 from ..resource.formats import is_srgb
 from ..resource.storage import TextureData
-from ..scene.scene import Scene, SceneModel
+from ..scene.scene import Scene
 from ..utils import mathlib as ml
 
 MAX_MIPS = 13

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .storage import EVertexFormat, MeshData, STANDARD_VERTEX_DTYPE, SubMeshData
+from .storage import EVertexFormat, MeshData, STANDARD_VERTEX_DTYPE
 
 
 def box_mesh(width: float = 1.0, height: float = 1.0, depth: float = 1.0) -> MeshData:

@@ -9,7 +9,7 @@ payloads (BasicStorage.cpp:161-188).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

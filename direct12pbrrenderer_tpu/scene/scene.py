@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import CULLING_RADIUS_COEFFICIENT, WORLD_BOUND
+from ..config import CULLING_RADIUS_COEFFICIENT
 from ..resource.resources import CubeMapResource, IResource, ModelResource
 from ..resource.serialization import FieldSpec
 from ..utils import mathlib as ml

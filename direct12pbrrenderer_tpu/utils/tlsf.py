@@ -8,8 +8,6 @@ the native library."""
 
 from __future__ import annotations
 
-import ctypes
-
 from ..native import load
 
 

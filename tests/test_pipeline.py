@@ -109,3 +109,31 @@ def test_camera_behind_culls_everything(pipeline):
     img = np.asarray(pipeline.render(cam))
     assert pipeline.last_stats.visible_instances == 0
     assert img.max() == 0  # nothing but black sky
+
+
+def test_dynamic_scene_object_motion(pipeline, camera):
+    """Per-frame transform upload: moving the object moves its pixels
+    (the reference's per-object instance-cbuffer path)."""
+    sm = pipeline.scene.models[0]
+    base = np.asarray(pipeline.render(camera))
+    xs0 = np.nonzero(base.sum(-1).sum(0) > 10)[0]
+
+    sm.translation = np.array([1.2, 0.0, 0.0], np.float32)
+    sm.update_transform()
+    pipeline.packed.model_mats[0] = sm.world_matrix
+    pipeline.packed.inv_model_mats[0] = np.linalg.inv(sm.world_matrix)
+    bmin, bmax = sm.world_bound()
+    pipeline.packed.instance_bounds[0] = np.stack([bmin, bmax])
+    moved = np.asarray(pipeline.render(camera))
+    xs1 = np.nonzero(moved.sum(-1).sum(0) > 10)[0]
+
+    # world +x maps to image-left under the pi-yaw camera
+    assert xs1.mean() < xs0.mean() - 10
+
+    # restore for other tests
+    sm.translation = np.zeros(3, np.float32)
+    sm.update_transform()
+    pipeline.packed.model_mats[0] = sm.world_matrix
+    pipeline.packed.inv_model_mats[0] = np.linalg.inv(sm.world_matrix)
+    bmin, bmax = sm.world_bound()
+    pipeline.packed.instance_bounds[0] = np.stack([bmin, bmax])
