@@ -96,6 +96,7 @@ class App:
         compile_s = time.perf_counter() - t0
 
         frame_times = []
+        writes = []
         for i in range(cfg.frames):
             if cfg.orbit_deg_per_frame:
                 self.camera.rotate(0.0, cfg.orbit_deg_per_frame * Deg2Rad, 0.0)
@@ -104,10 +105,21 @@ class App:
             img_np = np.asarray(img)  # sync
             frame_times.append(time.perf_counter() - t0)
             if out_dir:
+                # PNG encodes ride the worker pool (TaskScheduler analog) so
+                # disk IO never blocks the frame loop
                 from PIL import Image
 
-                Image.fromarray(img_np).save(out_dir / f"frame_{i:04d}.png")
+                from ..utils.threading import shared_pool
 
+                path = out_dir / f"frame_{i:04d}.png"
+                writes.append(
+                    shared_pool().schedule(
+                        lambda a=img_np, p=path: Image.fromarray(a).save(p)
+                    )
+                )
+
+        for f in writes:
+            f.result()
         times = np.asarray(frame_times)
         stats = self.pipeline.last_stats
         report = {
