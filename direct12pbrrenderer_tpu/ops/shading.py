@@ -184,7 +184,9 @@ def deferred_shade(
          zfar_c], -1,
     )
 
-    n_active = active_lights.shape[0]
+    # dynamic trip count: padded rows (cull_r = 0) contribute nothing, so we
+    # only iterate over lights that are actually present this frame
+    n_active = jnp.sum(active_lights[:, 13] > 0.0).astype(jnp.int32)
 
     def light_step(s, carry):
         acc, counter = carry
