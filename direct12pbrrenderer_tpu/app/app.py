@@ -132,6 +132,7 @@ class App:
             "visible_instances": stats.visible_instances if stats else 0,
             "total_instances": stats.total_instances if stats else 0,
             "visible_lights": stats.visible_lights if stats else 0,
+            "bin_overflow": stats.bin_overflow if stats else 0,
         }
         return report
 
