@@ -76,8 +76,9 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = frames / elapsed
+    scene_name = "synthetic sphere scene" if args.smoke else "reference scene"
     result = {
-        "metric": f"deferred PBR frame rate, reference scene @ {pipe.config.width}x{pipe.config.height}",
+        "metric": f"deferred PBR frame rate, {scene_name} @ {pipe.config.width}x{pipe.config.height}",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
