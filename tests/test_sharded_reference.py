@@ -1,0 +1,59 @@
+"""8-virtual-device sharded rendering vs single-chip on the REAL scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from direct12pbrrenderer_tpu.config import RenderConfig
+from direct12pbrrenderer_tpu.parallel import frame_sharded
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_reference_scene_matches(asset_loader):
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.scene.camera import Camera
+    from direct12pbrrenderer_tpu.scene.scene import Scene
+
+    scene = asset_loader.load_resource(Scene, "Asset/Scene/main.json")
+    cfg = RenderConfig(
+        width=256, height=192, max_triangles=65536, max_vertices=65536,
+        max_instances=40,
+    )
+    # single-chip reference render (tile rows must also split into 8 bands:
+    # band_h = 24 -> tile_h 12)
+    pipe = DeferredRenderPipeline(
+        scene, cfg, tile_h=12, tile_w=128, bin_cap=4096,
+        prefilter_size=16, brdf_lut_size=64, atlas_max_dim=256,
+    )
+    cam = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+    cam.move([0, 3, 10])
+    cam.rotate(0, np.pi, 0)
+    ref = np.asarray(pipe.render(cam))
+
+    mesh = frame_sharded.make_mesh(8)
+    frame = frame_sharded.build_sharded_frame(
+        mesh, cfg, tile_h=12, tile_w=128, bin_cap=4096
+    )
+    p = pipe.packed
+    normal_mats = np.ascontiguousarray(
+        np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1))
+    )
+    planes = cam.frustum_planes()
+    view = cam.view_matrix()
+    rgb8, avg = frame(
+        pipe.buffers,
+        jnp.asarray(p.model_mats),
+        jnp.asarray(normal_mats),
+        jnp.asarray(p.instance_visibility(planes)),
+        jnp.asarray(p.visible_lights(planes)),
+        jnp.asarray(view),
+        jnp.asarray(cam.world_matrix()),
+        jnp.asarray(cam.projection_matrix() @ view),
+        jnp.asarray(cam.position),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(1.0 / 60.0, jnp.float32),
+    )
+    out = np.asarray(rgb8)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert (diff > 1).mean() < 1e-3
