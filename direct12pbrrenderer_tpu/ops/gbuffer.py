@@ -196,6 +196,10 @@ def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
 
 def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
                        texture_filter: str = "trilinear") -> GBuffer:
+    # background pixels otherwise carry garbage interpolants -> random fetch
+    # addresses; pinning them to one coarse texel keeps those fetches (up to
+    # half the frame is sky) on a single hot line
+    interp = jnp.where(mask[..., None], interp, 0.0)
     uv = interp[..., 0:2]
     nrm = interp[..., 2:5]
     tan = interp[..., 5:8]
@@ -218,6 +222,7 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
     gy = ddy[..., None, :] * size5
     rho2 = jnp.maximum((gx * gx).sum(-1), (gy * gy).sum(-1))  # (H, W, 5)
     lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+    lod5 = jnp.where(mask[..., None], lod5, 99.0)  # background -> last mip
 
     samples = sample_atlas_trilinear(
         atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5, filter=texture_filter
