@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..ops import bloom as bloom_ops
-from ..ops import clustered, gbuffer, postprocess, raster, shading
+from ..ops import postprocess
+from ..pipeline import stages
 
 
 def build_sharded_frame(
@@ -35,6 +36,10 @@ def build_sharded_frame(
     tile_w: int,
     bin_cap: int,
     enable_bloom: bool = True,
+    use_pallas: bool | None = None,
+    texture_filter: str = "trilinear",
+    max_active_lights: int = 64,
+    pallas_interpret: bool = False,
 ):
     """Returns jit(frame) where raster/shade are row-sharded over mesh axis
     'sp'. The returned function takes the same pytree of buffers as the
@@ -46,8 +51,9 @@ def build_sharded_frame(
         f"height {h} must split into {n_dev} bands of tile_h={tile_h} tiles"
     )
     band_h = h // n_dev
-    tiles_y = band_h // tile_h
-    tiles_x = w // tile_w
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    use_pallas = use_pallas and (bin_cap % 128 == 0)
 
     def band_render(
         buffers, model_mats, normal_mats, instance_visible, light_valid,
@@ -56,47 +62,28 @@ def build_sharded_frame(
         band = jax.lax.axis_index("sp")
         y0 = (band * band_h).astype(jnp.float32)
 
-        # replicated vertex/setup work (small vs. per-pixel work)
-        clip = raster.vertex_transform(
-            buffers["positions"], buffers["vtx_instance"], model_mats, view_proj
+        # replicated vertex/setup work (small vs. per-pixel work); the heavy
+        # per-pixel stages below are the SAME functions the single-chip
+        # pipeline runs (pipeline.stages), with y_offset/band plumbing — the
+        # only sharding-specific code here is the mesh/all_gather glue.
+        setup, vattrs = stages.geometry(
+            buffers, model_mats, normal_mats, instance_visible, view_proj, w, h
         )
-        nrm_ws = raster.transform_directions(
-            buffers["normals"], buffers["vtx_instance"], normal_mats
+        bins = stages.binning(
+            setup, w, band_h, tile_h, tile_w, bin_cap, y_offset=y0
         )
-        tan_ws = raster.transform_directions(
-            buffers["tangents"], buffers["vtx_instance"], normal_mats
+        tri_id, depth = stages.rasterize(
+            setup, bins, w, band_h, tile_h, tile_w, use_pallas, y_offset=y0,
+            pallas_interpret=pallas_interpret,
         )
-        tri_ok = buffers["tri_valid_pool"] & instance_visible[buffers["tri_instance"]]
-        setup = raster.setup_triangles(clip, buffers["tris"], tri_ok, w, h)
-
-        bins = raster.bin_triangles(
-            setup, tiles_y, tiles_x, tile_h, tile_w, bin_cap, y_offset=y0
+        gb = stages.gbuffer_shade(
+            tri_id, depth, setup, buffers, vattrs, w, band_h,
+            texture_filter=texture_filter, y_offset=y0,
         )
-        tri_id, depth = raster.rasterize(
-            setup, bins, w, band_h, tile_h, tile_w, y_offset=y0
-        )
-        tri_rows = jnp.concatenate(
-            [raster.pack_pixel_data(setup),
-             buffers["mat_rows"][buffers["tri_material"]]], axis=1,
-        )
-        vattrs = gbuffer.pack_vertex_attrs(buffers["uvs"], nrm_ws, tan_ws)
-        gb = gbuffer.gbuffer_shade(
-            tri_id, depth, tri_rows, buffers["tris"], vattrs,
-            buffers["atlas"], w, band_h, y_offset=y0,
-        )
-
-        active = clustered.build_active_lights(
-            buffers["light_pos"], buffers["light_color"],
-            buffers["light_intensity"], buffers["light_attenuation"],
-            light_valid, view, 64,
-        )
-        rt_band = shading.deferred_shade(
-            gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth, gb.mask,
-            buffers["SkyBoxSH"], buffers["PrecomputeBRDF"], buffers["PrefilterEnvMap"],
-            buffers["SkyBoxTexture"], buffers["ClusterBoundsT"], active,
-            inv_view, camera_pos,
-            config.fov, config.ratio, config.near, config.far,
-            w, band_h, y_offset=y0, full_height=h,
+        active = stages.active_lights(buffers, light_valid, view, max_active_lights)
+        rt_band = stages.deferred_shade(
+            gb, buffers, active, inv_view, camera_pos, config, w, band_h,
+            y_offset=y0, full_height=h,
         )
 
         # gather bands over ICI -> full HDR image on every chip

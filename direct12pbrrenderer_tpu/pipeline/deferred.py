@@ -34,6 +34,7 @@ from ..ops import bloom as bloom_ops
 from ..ops import clustered, common, gbuffer, ibl, interp_pallas, postprocess, raster, raster_pallas, shading
 from ..scene.camera import Camera
 from ..scene.scene import Scene
+from . import stages
 from .scene_pack import PackedScene, pack_scene
 
 
@@ -60,6 +61,7 @@ class DeferredRenderPipeline:
         use_pallas_interp: bool = False,
         texture_filter: str = "trilinear",
         max_active_lights: int = 64,
+        pallas_interpret: bool = False,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -75,6 +77,7 @@ class DeferredRenderPipeline:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
+        self.pallas_interpret = pallas_interpret
         self.scene = scene
         self.packed: PackedScene = pack_scene(scene, cfg, atlas_max_dim)
 
@@ -165,40 +168,24 @@ class DeferredRenderPipeline:
         w, h = cfg.width, cfg.height
 
         def clustered_pass(env):
-            active = clustered.build_active_lights(
-                env["light_pos"], env["light_color"], env["light_intensity"],
-                env["light_attenuation"], env["LightValid"], env["View"],
-                self.max_active_lights,
+            active = stages.active_lights(
+                env, env["LightValid"], env["View"], self.max_active_lights
             )
             return {"FrustumCluster": (env["ClusterBoundsT"], active),
                     "PointLights": active[:, 13] > 0}
 
         def gbuffer_pass(env):
-            model = env["ModelMats"]
-            clip = raster.vertex_transform(
-                env["positions"], env["vtx_instance"], model, env["ViewProj"]
+            setup, vattrs = stages.geometry(
+                env, env["ModelMats"], env["NormalMats"],
+                env["InstanceVisible"], env["ViewProj"], w, h,
             )
-            nrm_ws = raster.transform_directions(
-                env["normals"], env["vtx_instance"], env["NormalMats"]
+            bins = stages.binning(
+                setup, w, h, self.tile_h, self.tile_w, self.bin_cap
             )
-            tan_ws = raster.transform_directions(
-                env["tangents"], env["vtx_instance"], env["NormalMats"]
+            tri_id, depth = stages.rasterize(
+                setup, bins, w, h, self.tile_h, self.tile_w, self.use_pallas,
+                pallas_interpret=self.pallas_interpret,
             )
-            tri_ok = env["tri_valid_pool"] & env["InstanceVisible"][env["tri_instance"]]
-            setup = raster.setup_triangles(clip, env["tris"], tri_ok, w, h)
-            bins = raster.bin_triangles(
-                setup, h // self.tile_h, w // self.tile_w,
-                self.tile_h, self.tile_w, self.bin_cap,
-            )
-            vattrs = gbuffer.pack_vertex_attrs(env["uvs"], nrm_ws, tan_ws)
-            if self.use_pallas:
-                tri_id, depth = raster_pallas.rasterize_pallas(
-                    setup, bins, w, h, self.tile_h, self.tile_w
-                )
-            else:
-                tri_id, depth = raster.rasterize(
-                    setup, bins, w, h, self.tile_h, self.tile_w
-                )
             if self.use_pallas_interp:
                 # measured slightly net-negative at 1080p (coherent per-pixel
                 # row gathers are cheaper than modeled); kept as groundwork
@@ -213,14 +200,9 @@ class DeferredRenderPipeline:
                     tri_id, depth, planes, env["atlas"], self.texture_filter
                 )
             else:
-                tri_rows = jnp.concatenate(
-                    [raster.pack_pixel_data(setup),
-                     env["mat_rows"][env["tri_material"]]],
-                    axis=1,
-                )
-                gb = gbuffer.gbuffer_shade(
-                    tri_id, depth, tri_rows, env["tris"], vattrs, env["atlas"],
-                    w, h, texture_filter=self.texture_filter,
+                gb = stages.gbuffer_shade(
+                    tri_id, depth, setup, env, vattrs, w, h,
+                    texture_filter=self.texture_filter,
                 )
             return {
                 "GBufferA": gb.albedo_emission,
@@ -232,13 +214,12 @@ class DeferredRenderPipeline:
 
         def deferred_pass(env):
             depth, mask = env["GBufferDepthStencil"]
-            bounds_t, active = env["FrustumCluster"]
-            rt = shading.deferred_shade(
-                env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask,
-                env["SkyBoxSH"], env["PrecomputeBRDF"], env["PrefilterEnvMap"],
-                env["SkyBoxTexture"], bounds_t, active,
-                env["InvView"], env["CameraPos"],
-                cfg.fov, cfg.ratio, cfg.near, cfg.far, w, h,
+            _bounds_t, active = env["FrustumCluster"]
+            gb = gbuffer.GBuffer(
+                env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask
+            )
+            rt = stages.deferred_shade(
+                gb, env, active, env["InvView"], env["CameraPos"], cfg, w, h
             )
             return {"DeferredShadingRT": rt}
 

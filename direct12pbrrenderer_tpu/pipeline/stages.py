@@ -1,0 +1,99 @@
+"""Shared per-band render stages.
+
+One source of truth for the heavy frame stages, used by three consumers:
+
+* `pipeline.deferred.DeferredRenderPipeline` (single chip, full frame =
+  one band at y_offset 0),
+* `parallel.frame_sharded` (each chip renders its row band at y_offset
+  band*band_h inside `shard_map`),
+* `tools.profile` (times each stage in isolation).
+
+This mirrors how the reference funnels every draw through one
+`DeferredPipeline` pass list regardless of presentation target
+(DeferredPipeline.cpp:22-44); keeping a single implementation here is what
+keeps the sharded path from drifting from the single-chip one as kernels
+evolve.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import clustered, gbuffer, raster, raster_pallas, shading
+
+
+def geometry(buffers, model_mats, normal_mats, instance_visible, view_proj,
+             width: int, height: int):
+    """Vertex transform + triangle setup + packed vertex attrs.
+
+    Replicated on every chip in the sharded path (cheap vs. pixel work).
+    Mirrors gbuffer.hlsl:75-83 vertex stage + D3D fixed-function setup.
+    """
+    clip = raster.vertex_transform(
+        buffers["positions"], buffers["vtx_instance"], model_mats, view_proj
+    )
+    nrm_ws = raster.transform_directions(
+        buffers["normals"], buffers["vtx_instance"], normal_mats
+    )
+    tan_ws = raster.transform_directions(
+        buffers["tangents"], buffers["vtx_instance"], normal_mats
+    )
+    tri_ok = buffers["tri_valid_pool"] & instance_visible[buffers["tri_instance"]]
+    setup = raster.setup_triangles(clip, buffers["tris"], tri_ok, width, height)
+    vattrs = gbuffer.pack_vertex_attrs(buffers["uvs"], nrm_ws, tan_ws)
+    return setup, vattrs
+
+
+def binning(setup, width: int, band_h: int, tile_h: int, tile_w: int,
+            bin_cap: int, y_offset=0):
+    return raster.bin_triangles(
+        setup, band_h // tile_h, width // tile_w, tile_h, tile_w, bin_cap,
+        y_offset=y_offset,
+    )
+
+
+def rasterize(setup, bins, width: int, band_h: int, tile_h: int, tile_w: int,
+              use_pallas: bool, y_offset=0, pallas_interpret: bool = False):
+    if use_pallas:
+        return raster_pallas.rasterize_pallas(
+            setup, bins, width, band_h, tile_h, tile_w, y_offset=y_offset,
+            interpret=pallas_interpret,
+        )
+    return raster.rasterize(
+        setup, bins, width, band_h, tile_h, tile_w, y_offset=y_offset
+    )
+
+
+def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
+                  band_h: int, texture_filter: str, y_offset=0,
+                  bins=None, tile_h: int = 0, tile_w: int = 0,
+                  use_tex_kernel: bool = False) -> gbuffer.GBuffer:
+    tri_rows = jnp.concatenate(
+        [raster.pack_pixel_data(setup),
+         buffers["mat_rows"][buffers["tri_material"]]], axis=1,
+    )
+    return gbuffer.gbuffer_shade(
+        tri_id, depth, tri_rows, buffers["tris"], vattrs, buffers["atlas"],
+        width, band_h, y_offset=y_offset, texture_filter=texture_filter,
+    )
+
+
+def active_lights(buffers, light_valid, view, max_active: int):
+    return clustered.build_active_lights(
+        buffers["light_pos"], buffers["light_color"],
+        buffers["light_intensity"], buffers["light_attenuation"],
+        light_valid, view, max_active,
+    )
+
+
+def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
+                   config, width: int, band_h: int, y_offset=0,
+                   full_height: int | None = None):
+    return shading.deferred_shade(
+        gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth,
+        gb.mask, buffers["SkyBoxSH"], buffers["PrecomputeBRDF"],
+        buffers["PrefilterEnvMap"], buffers["SkyBoxTexture"],
+        buffers["ClusterBoundsT"], active, inv_view, camera_pos,
+        config.fov, config.ratio, config.near, config.far,
+        width, band_h, y_offset=y_offset, full_height=full_height,
+    )
