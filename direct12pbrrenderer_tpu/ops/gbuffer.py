@@ -267,14 +267,13 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
 
 
 def _bary(row, px, py):
-    """Perspective-correct barycentrics from the pre-gathered (.., 32) row."""
+    """Perspective-correct barycentrics from the pre-gathered (.., 32) row.
+
+    With homogeneous edge rows (raster.setup_triangles) the edge scores B_i
+    ARE the unnormalized perspective weights: lam = B / sum(B)."""
     e = row[..., :9].reshape(row.shape[:-1] + (3, 3))
-    inv_area = row[..., 9]
-    iw = row[..., 13:16]
     ph = jnp.stack([px, py, jnp.ones_like(px)], -1)
     scores = (e * ph[..., None, :]).sum(-1)
-    lam = scores * inv_area[..., None]
-    lw = lam * iw
-    one_over_w = lw.sum(-1)
-    lam_persp = lw / jnp.maximum(one_over_w[..., None], 1e-20)
-    return None, lam_persp, one_over_w
+    sum_b = scores.sum(-1)
+    lam_persp = scores / jnp.where(sum_b == 0, 1.0, sum_b)[..., None]
+    return None, lam_persp, sum_b

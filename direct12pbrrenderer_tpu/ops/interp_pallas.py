@@ -43,7 +43,8 @@ def pack_interp_rows(setup: raster.TriangleSetup, vertex_attrs, tris, mat_rows,
     """(T, 64) interpolation rows (see module docstring)."""
     t = setup.edges.shape[0]
     e = setup.edges.reshape(t, 9)
-    iwa = setup.inv_w * setup.inv_area[:, None]  # (T, 3)
+    # homogeneous edge scores ARE the perspective weights -> unit multipliers
+    iwa = jnp.ones((t, 3), jnp.float32)
     tri_id = jnp.arange(t, dtype=jnp.float32)[:, None]
     va = vertex_attrs[tris]  # (T, 3, 8)
     mat = mat_rows[tri_material]  # (T, 16)

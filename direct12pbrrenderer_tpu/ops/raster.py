@@ -5,10 +5,14 @@ vertex/pixel shaders + fixed-function raster) with a tile-based SPMD design:
 
 1. **Vertex stage** (`vertex_transform`): per-instance model transforms and
    the view-projection applied as batched matmuls over the packed vertex pool.
-2. **Triangle setup** (`setup_triangles`): screen mapping (D3D viewport: y
-   down, pixel centers at +0.5), near-plane/degenerate/back-face rejection
-   (D3D default: clockwise front faces in y-down screen space), edge-function
-   coefficients and screen AABBs.
+2. **Triangle setup** (`setup_triangles`): CLIPLESS homogeneous setup
+   (Olano-Greer style). Edge functions are rows of adj([X;Y;W])/det over
+   viewport-scaled clip coordinates, so triangles crossing the near plane
+   rasterize correctly with NO geometric clipping and no extra triangles:
+   the per-pixel 0 <= z <= 1 and W > 0 tests reproduce the D3D clipper's
+   visible region exactly (gbuffer.hlsl:75-83 emits clip positions; the
+   fixed-function clipper does the rest). Back-face culling via det > 0
+   (== clockwise front faces in y-down screen space for w > 0).
 3. **Binning** (`bin_triangles`): triangles scattered into fixed-capacity
    per-tile lists, draw order preserved (stable cumsum positions).
 4. **Raster** (`rasterize`): `lax.scan` over tiles; each step evaluates all
@@ -21,7 +25,10 @@ Differences vs. the reference hardware rasterizer (documented quirks):
   silhouette differences.
 * inclusive edge test instead of the top-left fill rule -> shared edges are
   double-covered (harmless under LESS depth with opaque draws).
-* triangles crossing w<=eps are dropped instead of near-plane clipped.
+* near-plane-crossing triangles use homogeneous (clipless) rasterization
+  instead of geometric clipping: identical visible region, but their screen
+  AABBs are conservative (clamped projections of the w=eps crossing points),
+  so a camera inside geometry bins those triangles to more tiles.
 * per-tile triangle lists have a static capacity; overflow drops the excess
   (reported via the bin stats so callers can size capacity).
 """
@@ -36,12 +43,21 @@ import jax.numpy as jnp
 
 
 class TriangleSetup(NamedTuple):
-    xy: jnp.ndarray        # (T, 3, 2) screen positions
-    z: jnp.ndarray         # (T, 3) ndc z in [0, 1]
-    inv_w: jnp.ndarray     # (T, 3) 1/clip_w for perspective-correct interp
-    edges: jnp.ndarray     # (T, 3, 3) edge coefficients: e = a*x + b*y + c
-    inv_area: jnp.ndarray  # (T,) 1 / (2 * signed area)
-    aabb: jnp.ndarray      # (T, 4) xmin, ymin, xmax, ymax (pixels)
+    """Homogeneous (clipless) triangle setup.
+
+    `edges` rows are B_i(p) = cross(v_j, v_k)/det evaluated as a*x + b*y + c
+    over PIXEL coordinates, where v_i = (X_i, Y_i, w_i) are viewport-scaled
+    clip vectors. At a covered pixel all B_i >= 0 (front faces have det > 0);
+    perspective-correct barycentrics are B_i / sum(B); the hardware depth is
+    z_ndc = sum(B*z_clip) / sum(B*w_clip); the near/far clip planes become
+    per-pixel 0 <= z_ndc <= 1 (+ sum(B*w) > 0) tests — exact D3D clip
+    semantics with no clipping stage."""
+
+    xy: jnp.ndarray        # (T, 3, 2) screen positions (garbage where w<=eps)
+    z: jnp.ndarray         # (T, 3) CLIP z (= ndc_z * w)
+    w_clip: jnp.ndarray    # (T, 3) clip w
+    edges: jnp.ndarray     # (T, 3, 3) homogeneous edge rows (see above)
+    aabb: jnp.ndarray      # (T, 4) xmin, ymin, xmax, ymax (pixels, conservative)
     valid: jnp.ndarray     # (T,) bool
 
 
@@ -70,50 +86,98 @@ def setup_triangles(
 ) -> TriangleSetup:
     v = verts_clip[tris]  # (T, 3, 4)
     w = v[..., 3]
-    inv_w = 1.0 / jnp.maximum(w, w_eps)
-    ndc = v[..., :3] * inv_w[..., None]
+    z = v[..., 2]  # CLIP z — no division, finite for any w
+    in_front = w > w_eps
 
-    # D3D viewport transform: y flipped, pixel centers at integer+0.5
-    x = (ndc[..., 0] * 0.5 + 0.5) * width
-    y = (1.0 - (ndc[..., 1] * 0.5 + 0.5)) * height
+    # screen positions of in-front vertices (for AABBs, anchoring, debug);
+    # garbage (but finite) where w <= eps
+    inv_w = 1.0 / jnp.where(in_front, w, 1.0)
+    x = (v[..., 0] * inv_w * 0.5 + 0.5) * width
+    y = (1.0 - (v[..., 1] * inv_w * 0.5 + 0.5)) * height
     xy = jnp.stack([x, y], -1)  # (T, 3, 2)
-    z = ndc[..., 2]
 
-    # signed doubled area; CW-in-screen (front) > 0
-    d1 = xy[:, 1] - xy[:, 0]
-    d2 = xy[:, 2] - xy[:, 0]
-    area2 = d1[..., 0] * d2[..., 1] - d2[..., 0] * d1[..., 1]
+    # viewport-scaled homogeneous coords ANCHORED at the first in-front
+    # vertex's projection: X'_i/w_i = px_i - anchor_x. Local-scale coords keep
+    # the cross products cancellation-free for small/far triangles (the raw
+    # screen-scale form loses ~3 digits and visibly jitters silhouettes).
+    ax = jnp.where(in_front[:, 0], x[:, 0],
+                   jnp.where(in_front[:, 1], x[:, 1], x[:, 2]))
+    ay = jnp.where(in_front[:, 0], y[:, 0],
+                   jnp.where(in_front[:, 1], y[:, 1], y[:, 2]))
+    hx, hy = 0.5 * width, 0.5 * height
+    vx = v[..., 0] * hx + (hx - ax[:, None]) * w
+    vy = -(v[..., 1] * hy) + (hy - ay[:, None]) * w
 
-    # edge i is opposite vertex i: through (v_{i+1}, v_{i+2})
-    def edge(a, b):
-        # e(p) = (b.x-a.x)(p.y-a.y) - (b.y-a.y)(p.x-a.x) = A*p.x + B*p.y + C
-        ax, ay = a[..., 0], a[..., 1]
-        bx, by = b[..., 0], b[..., 1]
-        ea = -(by - ay)
-        eb = bx - ax
-        ec = -(ea * ax + eb * ay)
-        return jnp.stack([ea, eb, ec], -1)
+    # B_i = cross(v_j, v_k) (cyclic), det = dot(v_0, B_0)
+    def cross(j, k):
+        return jnp.stack(
+            [
+                vy[:, j] * w[:, k] - vy[:, k] * w[:, j],
+                w[:, j] * vx[:, k] - w[:, k] * vx[:, j],
+                vx[:, j] * vy[:, k] - vx[:, k] * vy[:, j],
+            ],
+            -1,
+        )
 
-    e0 = edge(xy[:, 1], xy[:, 2])
-    e1 = edge(xy[:, 2], xy[:, 0])
-    e2 = edge(xy[:, 0], xy[:, 1])
-    edges = jnp.stack([e0, e1, e2], 1)  # (T, 3, 3)
+    b0 = cross(1, 2)
+    b1 = cross(2, 0)
+    b2 = cross(0, 1)
+    det = b0[:, 0] * vx[:, 0] + b0[:, 1] * vy[:, 0] + b0[:, 2] * w[:, 0]
+    # normalize by det: front faces (det > 0) get all-nonnegative B inside;
+    # also tames magnitudes (raw cross entries scale like local^2 * w^2)
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
+    edges = jnp.stack([b0, b1, b2], 1) * inv_det[:, None, None]
+    # translate evaluation from anchored coords to pixel coords:
+    # e(px, py) with c' = c - a*anchor_x - b*anchor_y
+    edges = edges.at[:, :, 2].add(
+        -(edges[:, :, 0] * ax[:, None] + edges[:, :, 1] * ay[:, None])
+    )
 
-    xmin = jnp.clip(jnp.floor(x.min(-1)), 0, width)
-    xmax = jnp.clip(jnp.ceil(x.max(-1)), 0, width)
-    ymin = jnp.clip(jnp.floor(y.min(-1)), 0, height)
-    ymax = jnp.clip(jnp.ceil(y.max(-1)), 0, height)
-    aabb = jnp.stack([xmin, ymin, xmax, ymax], -1)
+    # conservative screen AABB: in-front vertex projections plus the
+    # projections of the w = eps crossing points of sign-changing edges
+    big = jnp.float32(3e38)
+    xmin_v = jnp.where(in_front, x, big).min(-1)
+    xmax_v = jnp.where(in_front, x, -big).max(-1)
+    ymin_v = jnp.where(in_front, y, big).min(-1)
+    ymax_v = jnp.where(in_front, y, -big).max(-1)
 
+    xmin, xmax, ymin, ymax = xmin_v, xmax_v, ymin_v, ymax_v
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        crossing = in_front[:, a] != in_front[:, b]
+        t = (w_eps - w[:, a]) / jnp.where(
+            w[:, b] == w[:, a], 1.0, w[:, b] - w[:, a]
+        )
+        cx_h = v[:, a, 0] + t * (v[:, b, 0] - v[:, a, 0])
+        cy_h = v[:, a, 1] + t * (v[:, b, 1] - v[:, a, 1])
+        cx = (cx_h / w_eps * 0.5 + 0.5) * width
+        cy = (1.0 - (cy_h / w_eps * 0.5 + 0.5)) * height
+        xmin = jnp.where(crossing, jnp.minimum(xmin, cx), xmin)
+        xmax = jnp.where(crossing, jnp.maximum(xmax, cx), xmax)
+        ymin = jnp.where(crossing, jnp.minimum(ymin, cy), ymin)
+        ymax = jnp.where(crossing, jnp.maximum(ymax, cy), ymax)
+
+    aabb = jnp.stack(
+        [
+            jnp.clip(jnp.floor(xmin), 0, width),
+            jnp.clip(jnp.floor(ymin), 0, height),
+            jnp.clip(jnp.ceil(xmax), 0, width),
+            jnp.clip(jnp.ceil(ymax), 0, height),
+        ],
+        -1,
+    )
+
+    any_crossing = (in_front != in_front[:, :1]).any(-1)
+    # far-plane whole-triangle reject only when safely decidable (all in
+    # front): z_ndc_i <= 1  <=>  z_i <= w_i
+    far_ok = (z <= w).any(-1) | any_crossing
     valid = (
         tri_valid
-        & (w > w_eps).all(-1)          # no near-plane clipping: drop
-        & (area2 > 0)                  # back-face + degenerate cull
-        & (xmax > xmin) & (ymax > ymin)
-        & (z <= 1.0).any(-1)           # beyond far plane entirely -> drop
+        & in_front.any(-1)          # fully behind the camera -> drop
+        & (det > 0)                 # back-face + degenerate cull
+        & (aabb[:, 2] > aabb[:, 0]) & (aabb[:, 3] > aabb[:, 1])
+        & far_ok
     )
-    inv_area = jnp.where(valid, 1.0 / jnp.where(area2 == 0, 1.0, area2), 0.0)
-    return TriangleSetup(xy, z, inv_w, edges, inv_area, aabb, valid)
+    return TriangleSetup(xy, z, w, edges, aabb, valid)
 
 
 class Bins(NamedTuple):
@@ -212,6 +276,7 @@ def rasterize(
 
     edges_flat = setup.edges
     z_flat = setup.z
+    w_flat = setup.w_clip
     valid_flat = setup.valid
 
     def chunk_step(carry, c_idx):
@@ -230,11 +295,16 @@ def rasterize(
         )  # (tiles, p, chunk, 3)
         inside = (scores >= 0.0).all(-1) & ok[:, None, :]
 
-        # screen-space barycentrics interpolate ndc z exactly (affine)
-        lam = scores * setup.inv_area[idsc][:, None, :, None]
-        zc = (lam * z_flat[idsc][:, None]).sum(-1)  # (tiles, p, chunk)
-        # z outside [0,1] is clipped (far/near plane), like the D3D clipper
-        zc = jnp.where(inside & (zc >= 0.0) & (zc <= 1.0), zc, jnp.inf)
+        # homogeneous depth: z_ndc = sum(B z_clip) / sum(B w_clip); the
+        # denominator > 0 test rejects the anti-wedge of near-plane-crossing
+        # triangles, 0 <= z <= 1 are the D3D near/far clip planes per pixel
+        den = (scores * w_flat[idsc][:, None]).sum(-1)
+        zc = (scores * z_flat[idsc][:, None]).sum(-1) / jnp.where(
+            den == 0, 1.0, den
+        )
+        zc = jnp.where(
+            inside & (den > 0.0) & (zc >= 0.0) & (zc <= 1.0), zc, jnp.inf
+        )
 
         best = jnp.argmin(zc, axis=-1)  # first min wins (draw order)
         best_z = jnp.take_along_axis(zc, best[..., None], -1)[..., 0]
@@ -268,17 +338,31 @@ def rasterize(
 def pack_pixel_data(setup: TriangleSetup) -> jnp.ndarray:
     """Per-triangle data needed at pixel rate, packed into one (T, 16) row so
     the per-pixel fetch is a single contiguous 64-byte gather instead of four
-    scattered ones: [edges(9), inv_area(1), z(3), inv_w(3)]."""
+    scattered ones: [edges(9), pad(1), z_clip(3), w_clip(3)]."""
     t = setup.edges.shape[0]
     return jnp.concatenate(
         [
             setup.edges.reshape(t, 9),
-            setup.inv_area[:, None],
+            jnp.zeros((t, 1), jnp.float32),
             setup.z,
-            setup.inv_w,
+            setup.w_clip,
         ],
         axis=1,
     )
+
+
+def _bary_from_scores(scores, wv):
+    """Homogeneous barycentrics from edge scores B_i and vertex clip w.
+
+    Returns (lam_affine, lam_persp, one_over_w): perspective barycentrics are
+    B / sum(B); screen-affine ones are (B*w) / sum(B*w)."""
+    sum_b = scores.sum(-1)
+    lam_persp = scores / jnp.where(sum_b == 0, 1.0, sum_b)[..., None]
+    bw = scores * wv
+    sum_bw = bw.sum(-1)
+    lam = bw / jnp.where(sum_bw == 0, 1.0, sum_bw)[..., None]
+    one_over_w = sum_b / jnp.where(sum_bw == 0, 1.0, sum_bw)
+    return lam, lam_persp, one_over_w
 
 
 def barycentrics_from_packed(packed, tri_id, px, py):
@@ -286,16 +370,9 @@ def barycentrics_from_packed(packed, tri_id, px, py):
     packed: (T, 16) from pack_pixel_data. Returns (lam, lam_persp, one_over_w)."""
     row = packed[tri_id]  # (..., 16)
     e = row[..., :9].reshape(row.shape[:-1] + (3, 3))
-    inv_area = row[..., 9]
-    zv = row[..., 10:13]
-    iw = row[..., 13:16]
     ph = jnp.stack([px, py, jnp.ones_like(px)], -1)
     scores = (e * ph[..., None, :]).sum(-1)
-    lam = scores * inv_area[..., None]
-    lw = lam * iw
-    one_over_w = lw.sum(-1)
-    lam_persp = lw / jnp.maximum(one_over_w[..., None], 1e-20)
-    return lam, lam_persp, one_over_w
+    return _bary_from_scores(scores, row[..., 13:16])
 
 
 def barycentrics_at(setup: TriangleSetup, tri_id, px, py):
@@ -303,15 +380,10 @@ def barycentrics_at(setup: TriangleSetup, tri_id, px, py):
 
     tri_id (...,) int32 (>= 0), px/py (...,) pixel centers ->
     (lam_affine (..., 3), lam_persp (..., 3), one_over_w (...,)).
-    lam_affine interpolates screen-affine quantities (ndc z); lam_persp
-    interpolates vertex attributes (uv, normals) perspective-correctly.
+    lam_affine interpolates screen-affine quantities; lam_persp interpolates
+    vertex attributes (uv, normals) perspective-correctly.
     """
     e = setup.edges[tri_id]  # (..., 3, 3)
     ph = jnp.stack([px, py, jnp.ones_like(px)], -1)  # (..., 3)
     scores = (e * ph[..., None, :]).sum(-1)  # (..., 3)
-    lam = scores * setup.inv_area[tri_id][..., None]
-    iw = setup.inv_w[tri_id]  # (..., 3)
-    lw = lam * iw
-    one_over_w = lw.sum(-1)
-    lam_persp = lw / jnp.maximum(one_over_w[..., None], 1e-20)
-    return lam, lam_persp, one_over_w
+    return _bary_from_scores(scores, setup.w_clip[tri_id])

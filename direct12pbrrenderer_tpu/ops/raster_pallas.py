@@ -17,10 +17,13 @@ broadcast FMAs on the VPU in fp32, folds depth with masked min/argmin, and
 resolves the winning id with a one-hot select (no in-kernel gathers at all).
 
 Triangle row layout (pack_raster_rows):
-  [ea0,eb0,ec0, ea1,eb1,ec1, ea2,eb2,ec2, zw0,zw1,zw2, id, 0,0,0]
-with zw_i = ndc_z_i * inv_area and the triangle id stored as f32 (exact below
-2^24); invalid/padded triangles get ec0 = -3e38 (never inside). z outside
-[0,1] is rejected in-kernel (the D3D clip planes).
+  [ea0,eb0,ec0, ea1,eb1,ec1, ea2,eb2,ec2, z0,z1,z2, w0,w1,w2, id]
+with homogeneous edge rows (raster.setup_triangles), z/w the CLIP-space
+vertex z and w, and the triangle id stored as f32 (exact below 2^24);
+invalid/padded triangles get ec0 = -3e38 (never inside). Depth is
+z_ndc = sum(B z)/sum(B w); sum(B w) > 0 and z in [0,1] are rejected
+in-kernel (the D3D clip planes, applied per pixel — this is what makes
+near-plane-crossing triangles render correctly without a clipping stage).
 """
 
 from __future__ import annotations
@@ -42,11 +45,10 @@ def pack_raster_rows(setup: raster.TriangleSetup) -> jnp.ndarray:
     t = setup.edges.shape[0]
     e = setup.edges.reshape(t, 9)
     ec0 = jnp.where(setup.valid, e[:, 2], -3e38)
-    zw = setup.z * setup.inv_area[:, None]
     tri_id = jnp.arange(t, dtype=jnp.float32)[:, None]
-    pad = jnp.zeros((t, 3), jnp.float32)
     return jnp.concatenate(
-        [e[:, 0:2], ec0[:, None], e[:, 3:9], zw, tri_id, pad], axis=1
+        [e[:, 0:2], ec0[:, None], e[:, 3:9], setup.z, setup.w_clip, tri_id],
+        axis=1,
     )
 
 
@@ -77,13 +79,16 @@ def _kernel(counts_ref, yoff_ref, rows_ref, z_out, id_out, *,
         s1 = px * col(3) + py * col(4) + col(5)
         s2 = px * col(6) + py * col(7) + col(8)
         inside = jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0
-        zc = s0 * col(9) + s1 * col(10) + s2 * col(11)
-        ok = inside & (zc >= 0.0) & (zc <= 1.0)
+        den = s0 * col(12) + s1 * col(13) + s2 * col(14)
+        zc = (s0 * col(9) + s1 * col(10) + s2 * col(11)) / jnp.where(
+            den == 0.0, 1.0, den
+        )
+        ok = inside & (den > 0.0) & (zc >= 0.0) & (zc <= 1.0)
         zc = jnp.where(ok, zc, jnp.inf)
 
         best = jnp.argmin(zc, axis=1, keepdims=True)       # (p, 1), first min
         best_z = jnp.min(zc, axis=1, keepdims=True)        # (p, 1)
-        ids = col(12)                                      # (1, CHUNK) f32 ids
+        ids = col(15)                                      # (1, CHUNK) f32 ids
         sel = jnp.where(best == lane, ids, 0.0).sum(axis=1, keepdims=True)
 
         upd = best_z < zbuf
@@ -128,7 +133,7 @@ def rasterize_pallas(
     # transpose puts each coefficient on the lane axis
     bins_rows = rows[jnp.maximum(bins.ids, 0)]  # (tiles, cap, 16)
     # padding slots: poison ec0 (col 2) so they never win, id -1
-    pad_row = jnp.zeros((16,), jnp.float32).at[2].set(-3e38).at[12].set(-1.0)
+    pad_row = jnp.zeros((16,), jnp.float32).at[2].set(-3e38).at[15].set(-1.0)
     bins_rows = jnp.where((bins.ids >= 0)[..., None], bins_rows, pad_row)
     rows_t = bins_rows.transpose(0, 2, 1)       # (tiles, 16, cap)
 

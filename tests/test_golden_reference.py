@@ -45,3 +45,59 @@ def test_reference_scene_golden(asset_loader):
         img, GOLDEN_DIR / "reference_scene_256x192.png", tol=2e-3, update=UPDATE
     )
     assert err <= 2e-3
+
+
+def test_camera_on_floor_near_plane_coverage(asset_loader):
+    """Camera grazing the floor: the floor quad pierces the near plane.
+
+    Round 1 dropped any triangle with a vertex at w <= eps (ops/raster.py),
+    so this view lost the whole floor. The clipless homogeneous rasterizer
+    must cover the bottom of the frame (the floor) without holes, matching
+    the D3D clipper implied by gbuffer.hlsl:75-83. A golden pins the frame.
+    """
+    import jax.numpy as jnp
+
+    from direct12pbrrenderer_tpu.ops import raster
+    from direct12pbrrenderer_tpu.pipeline import stages
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.scene.camera import Camera
+    from direct12pbrrenderer_tpu.scene.scene import Scene
+
+    scene = asset_loader.load_resource(Scene, "Asset/Scene/main.json")
+    cfg = RenderConfig(
+        width=256, height=192, max_triangles=65536, max_vertices=65536,
+        max_instances=40,
+    )
+    pipe = DeferredRenderPipeline(
+        scene, cfg, tile_h=24, tile_w=128, bin_cap=4096,
+        prefilter_size=16, brdf_lut_size=64, atlas_max_dim=256,
+    )
+    cam = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+    cam.move([0, 0.15, 2.0])  # eye just above the floor plane
+    cam.rotate(0, np.pi, 0)
+
+    p = pipe.packed
+    planes = cam.frustum_planes()
+    view = cam.view_matrix()
+    env = dict(pipe.buffers)
+    setup, _ = stages.geometry(
+        env, jnp.asarray(p.model_mats),
+        jnp.asarray(np.ascontiguousarray(
+            np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1)))),
+        jnp.asarray(p.instance_visibility(planes)),
+        jnp.asarray(cam.projection_matrix() @ view), 256, 192,
+    )
+    bins = stages.binning(setup, 256, 192, 24, 128, 4096)
+    tri_id, _depth = stages.rasterize(setup, bins, 256, 192, 24, 128, False)
+    covered = np.asarray(tri_id) >= 0
+    # every bottom-third pixel lies on the floor (or closer geometry)
+    assert covered[-64:, :].mean() > 0.999, covered[-64:, :].mean()
+
+    img = None
+    for _ in range(2):
+        img = np.asarray(pipe.render(cam, delta_time=0.25))
+    err = compare_to_golden(
+        img, GOLDEN_DIR / "reference_floor_graze_256x192.png", tol=2e-3,
+        update=UPDATE,
+    )
+    assert err <= 2e-3

@@ -105,9 +105,96 @@ def test_binning_locality():
     assert counts[0, 0] == 1 and counts.sum() == 1
 
 
-def test_near_plane_triangle_dropped():
+def _reference_clip_raster(verts_clip, w, h, eps=1e-4):
+    """Scalar reference: Sutherland-Hodgman clip one triangle against the
+    D3D volume (w = eps guard band, near z = 0, far z = w), project, then
+    point-in-polygon test every pixel center. The ground truth the clipless
+    rasterizer must match."""
+    poly = [np.asarray(p, np.float64) for p in verts_clip]
+    for plane in (
+        lambda p: p[3] - eps,        # w >= eps
+        lambda p: p[2],              # z_ndc >= 0
+        lambda p: p[3] - p[2],       # z_ndc <= 1
+    ):
+        nxt = []
+        for i in range(len(poly)):
+            a, b = poly[i], poly[(i + 1) % len(poly)]
+            fa, fb = plane(a), plane(b)
+            if fa >= 0:
+                nxt.append(a)
+            if (fa >= 0) != (fb >= 0):
+                t = fa / (fa - fb)
+                nxt.append(a + t * (b - a))
+        poly = nxt
+        if len(poly) < 3:
+            return np.zeros((h, w), bool)
+    scr = []
+    for p in poly:
+        x = (p[0] / p[3] * 0.5 + 0.5) * w
+        y = (1.0 - (p[1] / p[3] * 0.5 + 0.5)) * h
+        scr.append((x, y, p[2] / p[3]))
+    cover = np.zeros((h, w), bool)
+    for py in range(h):
+        for px in range(w):
+            cx, cy = px + 0.5, py + 0.5
+            inside = True
+            zs = []
+            for i in range(len(scr)):
+                x0, y0, _ = scr[i]
+                x1, y1, _ = scr[(i + 1) % len(scr)]
+                if (x1 - x0) * (cy - y0) - (y1 - y0) * (cx - x0) < 0:
+                    inside = False
+                    break
+            cover[py, px] = inside
+    return cover
+
+
+def test_near_plane_crossing_matches_reference_clipper():
+    # one vertex behind the camera: the clipless rasterizer must cover the
+    # same pixels as geometric near-plane clipping (VERDICT r1 missing #1)
     v = np.array(
-        [[-1, -1, 0.5, 1.0], [-1, 3, 0.5, 1.0], [3, -1, 0.5, -0.5]], np.float32
+        [[-0.8, -0.8, 0.3, 1.0],
+         [0.1, 0.5, -0.2, -0.5],
+         [0.8, -0.6, 0.4, 1.2]], np.float32,
+    )
+    setup = raster.setup_triangles(
+        jnp.asarray(v), jnp.asarray([[0, 1, 2]], jnp.int32), jnp.ones(1, bool),
+        32, 32,
+    )
+    assert bool(setup.valid[0])
+    bins = raster.bin_triangles(setup, 2, 2, 16, 16, cap=8)
+    ids, z = raster.rasterize(setup, bins, 32, 32, 16, 16, chunk=8)
+    got = np.asarray(ids) == 0
+    want = _reference_clip_raster(v, 32, 32)
+    # identical up to one pixel of edge rounding
+    assert (got != want).mean() < 0.04, (got.sum(), want.sum())
+    assert want.sum() > 20  # the test is non-trivial
+    zz = np.asarray(z)
+    assert (zz[got] >= 0).all() and (zz[got] <= 1).all()
+
+
+def test_two_verts_behind_camera():
+    v = np.array(
+        [[0.0, 0.6, 0.3, 1.0],
+         [0.9, -0.8, -0.1, -0.4],
+         [-0.9, -0.9, -0.2, -0.7]], np.float32,
+    )
+    setup = raster.setup_triangles(
+        jnp.asarray(v), jnp.asarray([[0, 1, 2]], jnp.int32), jnp.ones(1, bool),
+        32, 32,
+    )
+    assert bool(setup.valid[0])
+    bins = raster.bin_triangles(setup, 2, 2, 16, 16, cap=8)
+    ids, _ = raster.rasterize(setup, bins, 32, 32, 16, 16, chunk=8)
+    got = np.asarray(ids) == 0
+    want = _reference_clip_raster(v, 32, 32)
+    assert (got != want).mean() < 0.04, (got.sum(), want.sum())
+
+
+def test_fully_behind_camera_dropped():
+    v = np.array(
+        [[-1, -1, 0.5, -1.0], [-1, 3, 0.5, -1.0], [3, -1, 0.5, -0.5]],
+        np.float32,
     )
     setup = raster.setup_triangles(
         jnp.asarray(v), jnp.asarray([[0, 1, 2]], jnp.int32), jnp.ones(1, bool), 32, 32
