@@ -99,6 +99,96 @@ def bench_sweep(rows, n_seg, mode, dyn_frac=1.0, iters=5, label=None):
            ms, err or f"{TILES} tiles")
 
 
+# ----------------------------------------------- crossprod sweep (winner) ---
+def _crossprod_kernel(table_ref, idx_ref, out_ref, *, cap, taps, blocks):
+    """Per tile: ONE take_along_axis over the (segments x channels x blocks)
+    cross product, then a lane-wise select-reduce over segments.
+
+    table block: (cap, 4, 128) channel-major page rows.
+    idx block:   (taps, blocks, 128) int32 in [0, cap*128).
+    out:         (taps, 4, blocks, 128) f32 (bitcast-unpacked channel 0..3).
+    """
+    table = table_ref[0]            # (cap, 4, 128)
+    acc_planes = []
+    for t in range(taps):
+        rec = idx_ref[0, t]         # (blocks, 128)
+        seg = rec >> 7
+        lane = rec & 127
+        x = jnp.broadcast_to(
+            table[:, :, None, :], (cap, 4, blocks, 128)
+        ).reshape(cap * 4 * blocks, 128)
+        idx4 = jnp.broadcast_to(
+            lane[None, None], (cap, 4, blocks, 128)
+        ).reshape(cap * 4 * blocks, 128)
+        g = jnp.take_along_axis(x, idx4, axis=1)
+        g = g.reshape(cap, 4, blocks, 128)
+        acc = jnp.zeros((4, blocks, 128), table.dtype)
+        for s in range(cap):
+            acc = jnp.where((seg == s)[None], g[s], acc)
+        acc_planes.append(acc)
+    out_ref[0] = jnp.stack(acc_planes, 0)
+
+
+def bench_crossprod(cap=16, taps=10, blocks=24, iters=5):
+    table = jnp.asarray(
+        np.random.rand(TILES, cap, 4, 128).astype(np.float32))
+    idx = jnp.asarray(np.random.randint(
+        0, cap * 128, (TILES, taps, blocks, 128)).astype(np.int32))
+    fn = pl.pallas_call(
+        functools.partial(_crossprod_kernel, cap=cap, taps=taps, blocks=blocks),
+        grid=(TILES,),
+        in_specs=[
+            pl.BlockSpec((1, cap, 4, 128), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, taps, blocks, 128), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, taps, 4, blocks, 128), lambda t: (t, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (TILES, taps, 4, blocks, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+    )
+    ms, err = timeit(fn, table, idx, iters=iters)
+    report(f"crossprod cap={cap} taps={taps}", ms,
+           err or f"{TILES} tiles, {TILES*taps*cap*4*blocks} gather-rows")
+
+
+# --------------------------------------------------- XLA staging gathers ---
+def bench_xla_page_gather(pages_per_tile=200, iters=5):
+    """Stage per-tile page lists with one XLA gather of (1, 512) i32 slices."""
+    n_pages = 2**17  # 256 MB atlas-equivalent
+    atlas = jnp.asarray(
+        np.random.randint(0, 2**31, (n_pages, 512)).astype(np.int32))
+    ids = jnp.asarray(np.random.randint(
+        0, n_pages, (TILES, pages_per_tile)).astype(np.int32))
+
+    def stage(atlas_, ids_):
+        return jnp.take(atlas_, ids_.reshape(-1), axis=0)
+
+    ms, err = timeit(stage, atlas, ids, iters=iters)
+    mb = TILES * pages_per_tile * 512 * 4 / 1e6
+    report(f"XLA page gather pages/tile={pages_per_tile}", ms,
+           err or f"{mb:.0f} MB staged")
+
+
+def bench_xla_super_gather(super_pages=8, supers_per_tile=25, iters=5):
+    """Gather slice-size scaling: rows of super_pages*2KB."""
+    n_pages = 2**17
+    n_supers = n_pages // super_pages
+    atlas = jnp.asarray(np.random.randint(
+        0, 2**31, (n_supers, super_pages * 512)).astype(np.int32))
+    ids = jnp.asarray(np.random.randint(
+        0, n_supers, (TILES, supers_per_tile)).astype(np.int32))
+
+    def stage(atlas_, ids_):
+        return jnp.take(atlas_, ids_.reshape(-1), axis=0)
+
+    ms, err = timeit(stage, atlas, ids, iters=iters)
+    rows = TILES * supers_per_tile
+    mb = rows * super_pages * 512 * 4 / 1e6
+    report(f"XLA super gather {super_pages}p x {supers_per_tile}/tile", ms,
+           err or f"{rows} rows, {mb:.0f} MB")
+
+
 # ------------------------------------------------- exotic lowering probes ---
 def _sublane_gather_kernel(table_ref, seg_ref, out_ref):
     out_ref[0] = jnp.take_along_axis(table_ref[:, :], seg_ref[0], axis=0)
@@ -148,8 +238,10 @@ def _dma_kernel(starts_ref, atlas_ref, out_ref, table, sems, *, n_spans, span_ro
     t = pl.program_id(0)
 
     def dma(j):
+        # HBM slice starts must be provably 8-row aligned (Mosaic tiling)
+        start = pl.multiple_of(starts_ref[t, j] * 8, 8)
         return pltpu.make_async_copy(
-            atlas_ref.at[pl.ds(starts_ref[t, j], span_rows)],
+            atlas_ref.at[pl.ds(start, span_rows)],
             table.at[pl.ds(j * span_rows, span_rows)],
             sems.at[j],
         )
@@ -158,7 +250,7 @@ def _dma_kernel(starts_ref, atlas_ref, out_ref, table, sems, *, n_spans, span_ro
         dma(j).start()
     for j in range(n_spans):
         dma(j).wait()
-    out_ref[0, :] = table[0, 0:128].astype(jnp.float32)
+    out_ref[0] = table[0:8, 0:128].astype(jnp.float32)
 
 
 def bench_dma(n_spans=30, span_rows=32, iters=5):
@@ -167,13 +259,13 @@ def bench_dma(n_spans=30, span_rows=32, iters=5):
     atlas = jnp.asarray(
         np.random.randint(0, 2**31, (n_rows, 512)).astype(np.int32))
     starts = jnp.asarray(np.random.randint(
-        0, n_rows - span_rows, (TILES, n_spans)).astype(np.int32))
+        0, (n_rows - span_rows) // 8, (TILES, n_spans)).astype(np.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(TILES,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, 128), lambda t, *_: (t, 0)),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda t, *_: (t, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((n_spans * span_rows, 512), jnp.int32),
             pltpu.SemaphoreType.DMA((n_spans,)),
@@ -182,7 +274,7 @@ def bench_dma(n_spans=30, span_rows=32, iters=5):
     fn = pl.pallas_call(
         functools.partial(_dma_kernel, n_spans=n_spans, span_rows=span_rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((TILES, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((TILES, 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20),
     )
     ms, err = timeit(fn, starts, atlas, iters=iters)
@@ -221,6 +313,20 @@ def main():
             bench_dma(8, 32, iters=it)
         if "exotic" in only:
             bench_exotic(iters=it)
+        if "crossprod" in only:
+            bench_crossprod(8, 10, 24, iters=it)
+            bench_crossprod(16, 10, 24, iters=it)
+            bench_crossprod(32, 10, 24, iters=it)
+            bench_crossprod(32, 5, 24, iters=it)
+        if "stage" in only:
+            bench_xla_page_gather(100, iters=it)
+            bench_xla_page_gather(200, iters=it)
+            bench_xla_page_gather(400, iters=it)
+        if "stage2" in only:
+            bench_xla_super_gather(1, 200, iters=it)
+            bench_xla_super_gather(4, 50, iters=it)
+            bench_xla_super_gather(8, 25, iters=it)
+            bench_xla_super_gather(32, 8, iters=it)
         return
     # 1. reproduce the round-1 measurement (10 taps/px, 1 channel, 32 segs)
     bench_sweep(240, 32, "unrolled", iters=it,
