@@ -36,8 +36,8 @@ from . import common, raster
 
 
 class AtlasDevice(NamedTuple):
-    data: jnp.ndarray         # (N, 4) uint32 quad records (see scene_pack)
-    mip_offsets: jnp.ndarray  # (T, MAX_MIPS) int32
+    data: jnp.ndarray         # (N, 4) uint32 quad records, page-major (scene_pack)
+    page_base: jnp.ndarray    # (T, MAX_MIPS) int32 page offsets
     base_size: jnp.ndarray    # (T, 2) int32
     n_mips: jnp.ndarray       # (T,) int32
     srgb: jnp.ndarray         # (T,) bool
@@ -71,13 +71,21 @@ def _unpack_rgba(u32):
     return jnp.stack([r, g, b, a], -1) * (1.0 / 255.0)
 
 
+def page_record_index(page_base, w, x0, y0):
+    """Flat record index of wrapped texel (x0, y0) in the page-major layout
+    (16x8-texel pages, 128 records each; see scene_pack.TextureAtlas)."""
+    pages_x = (w + 15) >> 4
+    page = page_base + (y0 >> 3) * pages_x + (x0 >> 4)
+    return page * 128 + (y0 & 7) * 16 + (x0 & 15)
+
+
 def _sample_mip_bilinear(atlas: AtlasDevice, tex_id, mip, u, v):
     """Bilinear wrap sample of one mip: ONE 16-byte quad-record gather per tap
     (the record holds the full 2x2 neighborhood). Broadcastable args."""
     mip = jnp.minimum(mip, atlas.n_mips[tex_id] - 1)
     w = jnp.maximum(atlas.base_size[tex_id, 0] >> mip, 1)
     h = jnp.maximum(atlas.base_size[tex_id, 1] >> mip, 1)
-    off = atlas.mip_offsets[tex_id, mip]
+    off = atlas.page_base[tex_id, mip]
 
     x = u * w - 0.5
     y = v * h - 0.5
@@ -88,7 +96,7 @@ def _sample_mip_bilinear(atlas: AtlasDevice, tex_id, mip, u, v):
     x0 = jnp.mod(x0.astype(jnp.int32), w)
     y0 = jnp.mod(y0.astype(jnp.int32), h)
 
-    quad = atlas.data[off + y0 * w + x0]  # (..., 4) u32
+    quad = atlas.data[page_record_index(off, w, x0, y0)]  # (..., 4) u32
     c00 = _unpack_rgba(quad[..., 0])
     c01 = _unpack_rgba(quad[..., 1])
     c10 = _unpack_rgba(quad[..., 2])
@@ -101,6 +109,27 @@ def _sample_mip_bilinear(atlas: AtlasDevice, tex_id, mip, u, v):
     )
 
 
+def sample_atlas_raw(atlas: AtlasDevice, tex_id, u, v, lod,
+                     filter: str = "trilinear"):
+    """LinearWrap mip filtering in storage space (no sRGB linearization)."""
+    lod = jnp.clip(lod, 0.0, (atlas.n_mips[tex_id] - 1).astype(jnp.float32))
+    if filter == "bilinear":
+        m0 = jnp.round(lod).astype(jnp.int32)
+        return _sample_mip_bilinear(atlas, tex_id, m0, u, v)
+    m0 = jnp.floor(lod).astype(jnp.int32)
+    frac = (lod - m0)[..., None]
+    c0 = _sample_mip_bilinear(atlas, tex_id, m0, u, v)
+    c1 = _sample_mip_bilinear(atlas, tex_id, m0 + 1, u, v)
+    return c0 * (1 - frac) + c1 * frac
+
+
+def apply_srgb(atlas: AtlasDevice, tex_id, c):
+    """sRGB-EOTF linearization of the rgb channels where the SRV is *_SRGB."""
+    lin = common.srgb_eotf(c[..., :3])
+    rgb = jnp.where(atlas.srgb[tex_id][..., None], lin, c[..., :3])
+    return jnp.concatenate([rgb, c[..., 3:]], -1)
+
+
 def sample_atlas_trilinear(atlas: AtlasDevice, tex_id, u, v, lod,
                            filter: str = "trilinear"):
     """LinearWrap mip filtering, sRGB-linearized when flagged.
@@ -108,19 +137,9 @@ def sample_atlas_trilinear(atlas: AtlasDevice, tex_id, u, v, lod,
     filter="trilinear" is the reference parity path (two mip taps);
     "bilinear" snaps to the nearest mip (one tap — a documented speed knob,
     texture fetches are ~64% of the frame; see docs/PERF.md)."""
-    lod = jnp.clip(lod, 0.0, (atlas.n_mips[tex_id] - 1).astype(jnp.float32))
-    if filter == "bilinear":
-        m0 = jnp.round(lod).astype(jnp.int32)
-        c = _sample_mip_bilinear(atlas, tex_id, m0, u, v)
-    else:
-        m0 = jnp.floor(lod).astype(jnp.int32)
-        frac = (lod - m0)[..., None]
-        c0 = _sample_mip_bilinear(atlas, tex_id, m0, u, v)
-        c1 = _sample_mip_bilinear(atlas, tex_id, m0 + 1, u, v)
-        c = c0 * (1 - frac) + c1 * frac
-    lin = common.srgb_eotf(c[..., :3])
-    rgb = jnp.where(atlas.srgb[tex_id][..., None], lin, c[..., :3])
-    return jnp.concatenate([rgb, c[..., 3:]], -1)
+    return apply_srgb(
+        atlas, tex_id, sample_atlas_raw(atlas, tex_id, u, v, lod, filter)
+    )
 
 
 def _quad_derivatives(img):
@@ -150,7 +169,9 @@ def _quantize8(x):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "texture_filter")
+    jax.jit,
+    static_argnames=("width", "height", "texture_filter", "use_tex_kernel",
+                     "tex_interpret"),
 )
 def gbuffer_shade(
     tri_id,       # (H, W) int32 from rasterize
@@ -163,6 +184,8 @@ def gbuffer_shade(
     height: int,
     y_offset=0,
     texture_filter: str = "trilinear",
+    use_tex_kernel: bool = False,
+    tex_interpret: bool = False,
 ) -> GBuffer:
     mask = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
@@ -181,21 +204,26 @@ def gbuffer_shade(
     attrs = vertex_attrs[vidx]  # (H, W, 3, 8) — contiguous per-vertex rows
     interp = (attrs * lam_p[..., None]).sum(-2)  # (H, W, 8)
     return _shade_from_interp(interp, row[..., 16:32], mask, depth, atlas,
-                              texture_filter)
+                              texture_filter, use_tex_kernel, tex_interpret)
 
 
 def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
-                         texture_filter: str = "trilinear") -> GBuffer:
+                         texture_filter: str = "trilinear",
+                         use_tex_kernel: bool = False,
+                         tex_interpret: bool = False) -> GBuffer:
     """G-buffer from the Pallas interpolation kernel's (24, H, W) planes —
     zero per-pixel attribute gathers (only the texture-atlas taps remain)."""
     mask = tri_id >= 0
     interp = jnp.moveaxis(planes[0:8], 0, -1)   # (H, W, 8)
     matrow = jnp.moveaxis(planes[8:24], 0, -1)  # (H, W, 16)
-    return _shade_from_interp(interp, matrow, mask, depth, atlas, texture_filter)
+    return _shade_from_interp(interp, matrow, mask, depth, atlas,
+                              texture_filter, use_tex_kernel, tex_interpret)
 
 
 def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
-                       texture_filter: str = "trilinear") -> GBuffer:
+                       texture_filter: str = "trilinear",
+                       use_tex_kernel: bool = False,
+                       tex_interpret: bool = False) -> GBuffer:
     # background pixels otherwise carry garbage interpolants -> random fetch
     # addresses; pinning them to one coarse texel keeps those fetches (up to
     # half the frame is sky) on a single hot line
@@ -217,16 +245,33 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
     # All five material slots sample through ONE vectorized trilinear call
     # (slot axis batched) — 5x less emitted gather code, bigger fused fetches.
     ddx, ddy = _quad_derivatives(uv)
-    size5 = atlas.base_size[tex].astype(jnp.float32)         # (H, W, 5, 2)
+    if use_tex_kernel:
+        from . import texcache
+
+        # per-pixel texture dims via one-hot MXU, not an XLA gather
+        # (~15x faster at frame scale; tools/bench_texcache2.py)
+        size5 = texcache.onehot_lookup(
+            atlas.base_size.astype(jnp.float32), tex
+        )
+    else:
+        size5 = atlas.base_size[tex].astype(jnp.float32)     # (H, W, 5, 2)
     gx = ddx[..., None, :] * size5
     gy = ddy[..., None, :] * size5
     rho2 = jnp.maximum((gx * gx).sum(-1), (gy * gy).sum(-1))  # (H, W, 5)
     lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
     lod5 = jnp.where(mask[..., None], lod5, 99.0)  # background -> last mip
 
-    samples = sample_atlas_trilinear(
-        atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5, filter=texture_filter
-    )  # (H, W, 5, 4)
+    if use_tex_kernel:
+        samples, _approx = texcache.sample_atlas_textured(
+            atlas, tex, uv[..., 0], uv[..., 1], lod5,
+            active=use & mask[..., None],
+            filter=texture_filter, interpret=tex_interpret,
+        )  # (H, W, 5, 4)
+    else:
+        samples = sample_atlas_trilinear(
+            atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5,
+            filter=texture_filter,
+        )  # (H, W, 5, 4)
     albedo_tex = samples[..., 0, :3]
     normal_tex = samples[..., 1, :3]
     metallic_tex = samples[..., 2, 0]

@@ -1,0 +1,457 @@
+"""Software texture cache: VMEM page staging + lane-gather sampling kernel.
+
+This is the TPU re-design of the D3D12 sampler stack the reference leans on
+(`DeferredRendering/Shader/gbuffer.hlsl:89-148` sampling through the static
+LinearWrap sampler, `D3D12CommandList.cpp:295-302`): where a GPU texture unit
+hides per-pixel random fetches behind a dedicated cache hierarchy, a TPU pays
+~25 ns per incoherent HBM gather — texture taps were 64% of the round-1 frame
+(docs/PERF.md), and the cost is per *issued* gather, independent of address
+coherence (pinning addresses does not help — measured). The fix is to make
+the cache explicit and issue (almost) no XLA gathers at all:
+
+1. Every texture mip is stored page-major: 16x8-texel pages of 128 quad
+   records (scene_pack.TextureAtlas) — one page = one 2 KB staging unit.
+2. Per-pixel tap addresses (mip dims, page base) come from ONE fused
+   (T*13, 5) table read with one-hot MXU matmuls — 28 ms vs 402 ms as XLA
+   small-table gathers at 1080p (tools/bench_texcache2.py).
+3. Per 24x128-px screen tile, the XLA side extracts the distinct pages per
+   (material slot, trilinear half) — the tile's working set, bounded by the
+   LOD-correct texel footprint — plus up to 4 guaranteed last-mip fallback
+   pages per group, so EVERY active tap resolves in-kernel: exactly when its
+   page made the cover (>99.4% of taps at cap 96), and as the texture's
+   coarsest-mip average when it did not (counted in the returned stats).
+4. One XLA gather stages all tiles' page lists (contiguous 2 KB rows,
+   ~55 GB/s vs ~0.6 GB/s for per-texel rows).
+5. A Pallas kernel resolves all taps against the VMEM-resident pages with
+   `jnp.take_along_axis` (Mosaic `tpu.dynamic_gather`) sweeps batched 8
+   segments x 4 channels x pixel-blocks per op, `fori`-bounded by each
+   group's actual page count (median group needs ~10 pages, p99 ~81).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import gbuffer
+
+SENTINEL = jnp.int32(2**31 - 1)
+MAX_MIPS = 13
+CAP_FB = 4       # guaranteed last-mip fallback pages per group
+SEG_CHUNK = 8    # segments per take_along_axis sweep op
+
+
+# --------------------------------------------------------------- tiling ----
+def pick_tile(height: int, width: int, max_pixels: int = 4096):
+    """Choose a (tile_h, tile_w) screen tiling for the texture cache.
+
+    Prefers ~24x128 (3072 px: the LOD-correct texel footprint of a tile then
+    fits the page budget). Requires tile_h*tile_w % 128 == 0 and divisibility;
+    returns None when the frame admits no such tiling (caller falls back to
+    the pure XLA sampler)."""
+    tws = sorted((d for d in range(32, min(width, 512) + 1) if width % d == 0),
+                 key=lambda d: abs(d - 128))
+    for tw in tws:
+        ths = sorted(
+            (d for d in range(4, min(height, 64) + 1)
+             if height % d == 0 and (d * tw) % 128 == 0
+             and d * tw <= max_pixels),
+            key=lambda d: abs(d - 3072 // tw),
+        )
+        if ths:
+            return ths[0], tw
+    return None
+
+
+def _tile(img, tile_h, tile_w, blocks_pad):
+    """(..., H, W) leading-batched image -> (tiles, ..., blocks_pad, 128)."""
+    *lead, h, w = img.shape
+    ty, tx = h // tile_h, w // tile_w
+    p = tile_h * tile_w
+    x = img.reshape(*lead, ty, tile_h, tx, tile_w)
+    x = jnp.moveaxis(x, (-4, -2), (0, 1))          # (ty, tx, ..., th, tw)
+    x = x.reshape(ty * tx, *lead, p // 128, 128)
+    pad = blocks_pad - p // 128
+    if pad:
+        padding = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+        x = jnp.pad(x, padding)
+    return x
+
+
+def _untile(tiles, height, width, tile_h, tile_w):
+    """(n_tiles, ..., blocks_pad, 128) -> (..., H, W)."""
+    ty, tx = height // tile_h, width // tile_w
+    p = tile_h * tile_w
+    x = tiles.reshape(tiles.shape[0], *tiles.shape[1:-2], -1)[..., :p]
+    lead = x.shape[1:-1]
+    x = x.reshape(ty, tx, *lead, tile_h, tile_w)
+    x = jnp.moveaxis(x, (0, 1), (-4, -2))
+    return x.reshape(*lead, height, width)
+
+
+# ------------------------------------------------ one-hot table lookups ----
+def fused_mip_table(atlas: gbuffer.AtlasDevice) -> jnp.ndarray:
+    """(T*MAX_MIPS, 5) f32 table keyed by tex*MAX_MIPS + mip:
+    [n_mips, base_w, base_h, page_base, last_page_base].
+    All values int-exact in f32."""
+    t = atlas.n_mips.shape[0]
+    last = jnp.take_along_axis(
+        atlas.page_base, (atlas.n_mips - 1)[:, None], axis=1
+    )
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(atlas.n_mips[:, None, None], (t, MAX_MIPS, 1)),
+            jnp.broadcast_to(atlas.base_size[:, None, :], (t, MAX_MIPS, 2)),
+            atlas.page_base[:, :MAX_MIPS, None],
+            jnp.broadcast_to(last[:, :, None], (t, MAX_MIPS, 1)),
+        ],
+        axis=-1,
+    ).reshape(t * MAX_MIPS, 5).astype(jnp.float32)
+
+
+def onehot_lookup(table, key):
+    """table (n, k) f32 with int-exact values, key (...,) int32 -> (..., k).
+
+    One MXU matmul instead of a per-element XLA gather: ~15x faster at
+    (H, W, 5) scale (tools/bench_texcache2.py). Exact: the one-hot rows have
+    a single 1.0, so each output is one table value times 1.0."""
+    n = table.shape[0]
+    oh = (key[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(
+        jnp.float32
+    )
+    out = jnp.dot(oh.reshape(-1, n), table,
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(*key.shape, table.shape[-1])
+
+
+# ----------------------------------------------------------------- plan ----
+def _tap_addresses(row, mip, u, v):
+    """Per-pixel page id + intra-page record index + bilinear fracs for one
+    mip tap, from the fused-table row at that mip. Mirrors
+    gbuffer._sample_mip_bilinear's addressing exactly."""
+    w = jnp.maximum(row[..., 1].astype(jnp.int32) >> mip, 1)
+    h = jnp.maximum(row[..., 2].astype(jnp.int32) >> mip, 1)
+    page_base = row[..., 3].astype(jnp.int32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    y0 = jnp.mod(y0f.astype(jnp.int32), h)
+    pages_x = (w + 15) >> 4
+    page = page_base + (y0 >> 3) * pages_x + (x0 >> 4)
+    intra = (y0 & 7) * 16 + (x0 & 15)
+    return page, intra, fx, fy
+
+
+def _cover_and_match(pages, act, cap):
+    """pages/act: (tiles, g, blocks, 128). Extract up to `cap` distinct page
+    ids per (tile, group) and match every pixel against them.
+
+    Returns (page_list (tiles, g, cap) int32 [0-padded],
+             count (tiles, g) int32,
+             rec slot index, found — both shaped like `pages`)."""
+    shape = pages.shape
+    pages = pages.reshape(shape[0], shape[1], -1)
+    vals0 = jnp.where(act.reshape(pages.shape), pages, SENTINEL)
+
+    def step(carry, k):
+        vals, slot, found = carry
+        m = vals.min(axis=-1)                          # (tiles, g)
+        hit = pages == m[..., None]
+        live = (m != SENTINEL)[..., None]
+        slot = jnp.where(hit & live, k, slot)
+        found = found | (hit & live)
+        vals = jnp.where(hit, SENTINEL, vals)
+        return (vals, slot, found), (
+            jnp.where(m == SENTINEL, 0, m), m != SENTINEL
+        )
+
+    init = (
+        vals0,
+        jnp.zeros(pages.shape, jnp.int32),
+        jnp.zeros(pages.shape, bool),
+    )
+    (vals, slot, found), scanned = jax.lax.scan(
+        step, init, jnp.arange(cap, dtype=jnp.int32)
+    )
+    page_list, live = scanned
+    page_list = jnp.moveaxis(page_list, 0, -1)
+    count = jnp.moveaxis(live, 0, -1).sum(-1).astype(jnp.int32)
+    return page_list, count, slot.reshape(shape), found.reshape(shape) & act
+
+
+# --------------------------------------------------------------- kernel ----
+def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref, out_ref, *,
+            blocks, caps, bases, trilinear):
+    """Per tile: resolve all (5 slots x halves) taps against staged pages.
+
+    cnt: (tiles, G) page counts (scalar prefetch)
+    tbl: (1, CAPT*4, 128) i32 — page p channel c at row p*4+c
+    rec/fx/fy: (1, G, blocks, 128); tl: (1, 5, blocks, 128)
+    out: (1, 5, 4, blocks, 128) f32 storage-space rgba
+    """
+    t = pl.program_id(0)
+    n_halves = 2 if trilinear else 1
+    for s in range(5):
+        acc = None
+        for hi in range(n_halves):
+            g = hi * 5 + s
+            base, cap = bases[g], caps[g]
+            rec = rec_ref[0, g]                        # (blocks, 128)
+            seg = rec >> 7
+            lane = rec & 127
+            lane4 = jnp.broadcast_to(
+                lane[None], (SEG_CHUNK * 4, blocks, 128)
+            ).reshape(SEG_CHUNK * 4 * blocks, 128)
+
+            def chunk_body(c, quad, base=base, seg=seg, lane4=lane4):
+                rows = tbl_ref[
+                    0, pl.ds(pl.multiple_of(base * 4 + c * (SEG_CHUNK * 4),
+                                            SEG_CHUNK * 4), SEG_CHUNK * 4)
+                ]                                      # (CHUNK*4, 128)
+                x = jnp.broadcast_to(
+                    rows[:, None, :], (SEG_CHUNK * 4, blocks, 128)
+                ).reshape(SEG_CHUNK * 4 * blocks, 128)
+                gat = jnp.take_along_axis(x, lane4, axis=1)
+                gat = gat.reshape(SEG_CHUNK, 4, blocks, 128)
+                sel = jnp.zeros((4, blocks, 128), jnp.int32)
+                local = seg - c * SEG_CHUNK
+                for sg in range(SEG_CHUNK):
+                    sel = jnp.where((local == sg)[None], gat[sg], sel)
+                hit = (local >= 0) & (local < SEG_CHUNK)
+                return jnp.where(hit[None], sel, quad)
+
+            n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
+            quad = jax.lax.fori_loop(
+                0, n_chunks, chunk_body,
+                jnp.zeros((4, blocks, 128), jnp.int32),
+            )
+            fx = fx_ref[0, g]
+            fy = fy_ref[0, g]
+            comps = []
+            for c in range(4):
+                tc = [
+                    ((quad[k] >> (8 * c)) & 0xFF).astype(jnp.float32)
+                    * (1.0 / 255.0)
+                    for k in range(4)
+                ]
+                # same association order as gbuffer._sample_mip_bilinear
+                comps.append(
+                    tc[0] * (1 - fx) * (1 - fy)
+                    + tc[1] * fx * (1 - fy)
+                    + tc[2] * (1 - fx) * fy
+                    + tc[3] * fx * fy
+                )
+            rgba = jnp.stack(comps, 0)                 # (4, blocks, 128)
+            if not trilinear:
+                acc = rgba
+            else:
+                frac = tl_ref[0, s][None]
+                acc = rgba * (1 - frac) if hi == 0 else acc + rgba * frac
+        out_ref[0, s] = acc
+
+
+# ----------------------------------------------------------------- api -----
+@functools.partial(
+    jax.jit,
+    static_argnames=("filter", "tile_h", "tile_w", "cap_lo", "cap_hi",
+                     "interpret"),
+)
+def sample_atlas_tiled(
+    atlas: gbuffer.AtlasDevice,
+    tex,        # (H, W, 5) int32 >= 0
+    u,          # (H, W)
+    v,          # (H, W)
+    lod,        # (H, W, 5) f32
+    active,     # (H, W, 5) bool — taps that must be resolved
+    filter: str = "trilinear",
+    tile_h: int = 24,
+    tile_w: int = 128,
+    cap_lo: int = 92,
+    cap_hi: int = 44,
+    interpret: bool = False,
+):
+    """Kernel-path sampling. Returns (rgba (H, W, 5, 4) storage-space,
+    covered (H, W, 5) bool, approx (H, W, 5) bool).
+
+    `covered` taps are exact (bit-equal to the XLA sampler); `approx` taps
+    overflowed the tile's page budget and were resolved at the texture's
+    coarsest mip (its average color) instead — the graceful-degradation mode
+    of a real texture cache. Non-covered non-approx active pixels only occur
+    when even the fallback page missed (never, by construction)."""
+    height, width = u.shape
+    trilinear = filter != "bilinear"
+    p = tile_h * tile_w
+    blocks = -(-p // 128)
+    blocks += (-blocks) % 8
+    n_tiles = (height // tile_h) * (width // tile_w)
+    # group caps must be SEG_CHUNK-aligned so chunked sweeps stay in-bounds
+    assert (cap_lo + CAP_FB) % SEG_CHUNK == 0
+    assert (cap_hi + CAP_FB) % SEG_CHUNK == 0
+
+    u5 = jnp.broadcast_to(u[..., None], tex.shape)
+    v5 = jnp.broadcast_to(v[..., None], tex.shape)
+    table = fused_mip_table(atlas)
+    row0 = onehot_lookup(table, tex * MAX_MIPS)
+    n_mips_t = row0[..., 0].astype(jnp.int32)
+    lod = jnp.clip(lod, 0.0, (n_mips_t - 1).astype(jnp.float32))
+    if trilinear:
+        m_lo = jnp.floor(lod).astype(jnp.int32)
+        tfrac = lod - m_lo
+        mips = [m_lo, jnp.minimum(m_lo + 1, n_mips_t - 1)]
+    else:
+        m_lo = jnp.round(lod).astype(jnp.int32)
+        tfrac = jnp.zeros_like(lod)
+        mips = [m_lo]
+
+    def tile_g(x):  # (H, W, 5) -> (tiles, 5, blocks, 128)
+        return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
+
+    act_t = tile_g(active)
+
+    # guaranteed fallback tap: the coarsest mip (1x1 — the texture's average
+    # color). Addressing at w == h == 1 needs no further table data.
+    fb_page = row0[..., 4].astype(jnp.int32)
+    fb_fx = (u5 - 0.5) - jnp.floor(u5 - 0.5)
+    fb_fy = (v5 - 0.5) - jnp.floor(v5 - 0.5)
+    fb_list, _, fb_slot, fb_found = _cover_and_match(
+        tile_g(fb_page), act_t, CAP_FB
+    )
+    fb_slot_t, fb_fx_t, fb_fy_t = fb_slot, tile_g(fb_fx), tile_g(fb_fy)
+
+    # per-group page table layout: [fallback pages (CAP_FB) | cover (cap)],
+    # so the chunked sweep bound is simply CAP_FB + count
+    halves = []
+    for m, cap in zip(mips, (cap_lo, cap_hi)):
+        row = onehot_lookup(table, tex * MAX_MIPS + m)
+        page, intra, fx, fy = _tap_addresses(row, m, u5, v5)
+        page_list, count, slot, found = _cover_and_match(
+            tile_g(page), act_t, cap
+        )
+        halves.append(
+            (page_list, count, slot, tile_g(intra), tile_g(fx), tile_g(fy),
+             found)
+        )
+
+    # a tap is exact only if EVERY mip half made its cover; otherwise the
+    # WHOLE tap resolves via the fallback page (never a half-blend), so
+    # `approx` taps are exactly the coarsest-mip average color
+    covered_t = halves[0][6]
+    if trilinear:
+        covered_t = covered_t & halves[1][6]
+    resolved_t = covered_t | fb_found
+
+    ids, cnts, recs, fxs, fys = [], [], [], [], []
+    for page_list, count, slot, intra_t, fx_t1, fy_t1, _found in halves:
+        recs.append(jnp.where(covered_t, (CAP_FB + slot) * 128 + intra_t,
+                              fb_slot_t * 128))
+        fxs.append(jnp.where(covered_t, fx_t1, fb_fx_t))
+        fys.append(jnp.where(covered_t, fy_t1, fb_fy_t))
+        ids.append(jnp.concatenate([fb_list, page_list],
+                                   axis=-1).reshape(n_tiles, -1))
+        cnts.append(CAP_FB + count)
+    rec_t = jnp.concatenate(recs, axis=1)
+    fx_t = jnp.concatenate(fxs, axis=1)
+    fy_t = jnp.concatenate(fys, axis=1)
+    ids = jnp.concatenate(ids, axis=1)                 # (tiles, CAPT)
+    cnts = jnp.concatenate(cnts, axis=1)               # (tiles, G)
+    capt = ids.shape[1]
+
+    # stage: one gather of 2 KB page rows, then channel-major for the kernel
+    n_pages = atlas.data.shape[0] // 128
+    pages_view = atlas.data.reshape(n_pages, 128, 4)
+    staged = jnp.take(pages_view, ids.reshape(-1), axis=0)
+    staged = staged.reshape(n_tiles, capt, 128, 4).transpose(0, 1, 3, 2)
+    staged = jax.lax.bitcast_convert_type(
+        staged.reshape(n_tiles, capt * 4, 128), jnp.int32
+    )
+
+    g = rec_t.shape[1]
+    span = {0: cap_lo + CAP_FB, 1: cap_hi + CAP_FB}
+    caps = tuple(
+        span[0] if gi < 5 else span[1] for gi in range(g)
+    )
+    bases = []
+    off = 0
+    for gi in range(g):
+        bases.append(off)
+        off += caps[gi]
+    tl_t = tile_g(tfrac)
+    kernel = functools.partial(
+        _kernel, blocks=blocks, caps=caps, bases=tuple(bases),
+        trilinear=trilinear,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, capt * 4, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 5, 4, blocks, 128), lambda t, *_: (t, 0, 0, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, 5, 4, blocks, 128), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cnts, staged, rec_t, fx_t, fy_t, tl_t)
+
+    rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
+                        (2, 3))                        # (H, W, 5, 4)
+    covered = jnp.moveaxis(
+        _untile(covered_t, height, width, tile_h, tile_w), 0, -1
+    )
+    resolved = jnp.moveaxis(
+        _untile(resolved_t, height, width, tile_h, tile_w), 0, -1
+    )
+    return rgba, covered, resolved & ~covered
+
+
+def sample_atlas_textured(
+    atlas: gbuffer.AtlasDevice,
+    tex, u, v, lod, active,
+    filter: str = "trilinear",
+    interpret: bool = False,
+):
+    """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
+    covered taps (>99.4% at 1080p, typically 100% at test sizes), coarsest-mip
+    average for page-budget overflows. Returns ((H, W, 5, 4) rgba with sRGB
+    applied, approx (H, W, 5) overflow-tap mask for stats)."""
+    height, width = u.shape
+    tile = pick_tile(height, width)
+    if tile is None:
+        rgba = gbuffer.sample_atlas_trilinear(
+            atlas, tex, u[..., None], v[..., None], lod, filter=filter
+        )
+        return rgba, jnp.zeros(tex.shape, bool)
+    rgba, covered, approx = sample_atlas_tiled(
+        atlas, tex, u, v, lod, active,
+        filter=filter, tile_h=tile[0], tile_w=tile[1], interpret=interpret,
+    )
+    # sRGB flag via a tiny one-hot matmul (no per-pixel gather)
+    srgb = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex)
+    srgb = srgb[..., 0] > 0.5
+    from . import common
+
+    lin = common.srgb_eotf(rgba[..., :3])
+    rgb = jnp.where(srgb[..., None], lin, rgba[..., :3])
+    return jnp.concatenate([rgb, rgba[..., 3:]], -1), approx

@@ -59,6 +59,7 @@ class DeferredRenderPipeline:
         brdf_lut_size: int = BRDF_LUT_SIZE,
         use_pallas: bool | None = None,
         use_pallas_interp: bool = False,
+        use_tex_kernel: bool | None = None,
         texture_filter: str = "trilinear",
         max_active_lights: int = 64,
         pallas_interpret: bool = False,
@@ -77,6 +78,13 @@ class DeferredRenderPipeline:
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
+        if use_tex_kernel is None:
+            use_tex_kernel = jax.default_backend() not in ("cpu",)
+        from ..ops import texcache as _texcache
+
+        self.use_tex_kernel = (
+            use_tex_kernel and _texcache.pick_tile(cfg.height, cfg.width) is not None
+        )
         self.pallas_interpret = pallas_interpret
         self.scene = scene
         self.packed: PackedScene = pack_scene(scene, cfg, atlas_max_dim)
@@ -134,7 +142,7 @@ class DeferredRenderPipeline:
             ),
             "atlas": gbuffer.AtlasDevice(
                 jnp.asarray(p.atlas.data),
-                jnp.asarray(p.atlas.mip_offsets.astype(np.int32)),
+                jnp.asarray(p.atlas.page_base),
                 jnp.asarray(p.atlas.base_size),
                 jnp.asarray(p.atlas.n_mips),
                 jnp.asarray(p.atlas.srgb),
@@ -203,6 +211,8 @@ class DeferredRenderPipeline:
                 gb = stages.gbuffer_shade(
                     tri_id, depth, setup, env, vattrs, w, h,
                     texture_filter=self.texture_filter,
+                    use_tex_kernel=self.use_tex_kernel,
+                    tex_interpret=self.pallas_interpret,
                 )
             return {
                 "GBufferA": gb.albedo_emission,

@@ -30,6 +30,13 @@ from ..utils import mathlib as ml
 
 MAX_MIPS = 13
 
+# Texture page geometry (ops/texcache.py): every mip is stored as a grid of
+# 16x8-texel pages, 128 quad records each (2 KB) — the unit of VMEM staging
+# for the software texture cache, and the layout both samplers address.
+PAGE_W = 16
+PAGE_H = 8
+PAGE_RECORDS = PAGE_W * PAGE_H
+
 
 @dataclass
 class MaterialTable:
@@ -50,10 +57,18 @@ class TextureAtlas:
     `data` stores, for every texel, its 2x2 wrap-addressed bilinear
     neighborhood [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] as one 16-byte record —
     the software analog of a texture unit's neighborhood fetch: a bilinear
-    tap costs ONE gather instead of four (4x memory, 4x fewer fetches)."""
+    tap costs ONE gather instead of four (4x memory, 4x fewer fetches).
+
+    Records are ordered PAGE-MAJOR: each mip is padded to a whole grid of
+    16x8-texel pages and stored page by page (row-major pages, row-major
+    texels inside a page). A page = 128 contiguous records = one 2 KB VMEM
+    staging unit for the texture-cache kernel. The record address of texel
+    (x, y) of mip m is
+        page_base[t, m]*128 + ((y>>3)*pages_x + (x>>4))*128 + (y&7)*16 + (x&15)
+    with pages_x = ceil(mip_width/16)."""
 
     data: np.ndarray          # (N, 4) uint32, R | G<<8 | B<<16 | A<<24
-    mip_offsets: np.ndarray   # (T, MAX_MIPS) int64 flat offsets (clamped to last mip)
+    page_base: np.ndarray     # (T, MAX_MIPS) int32 page offsets (clamped to last mip)
     base_size: np.ndarray     # (T, 2) int32 (w, h)
     n_mips: np.ndarray        # (T,) int32
     srgb: np.ndarray          # (T,) bool
@@ -61,8 +76,8 @@ class TextureAtlas:
     @classmethod
     def empty(cls) -> "TextureAtlas":
         return cls(
-            np.zeros((4, 4), np.uint32),
-            np.zeros((1, MAX_MIPS), np.int64),
+            np.zeros((PAGE_RECORDS, 4), np.uint32),
+            np.zeros((1, MAX_MIPS), np.int32),
             np.ones((1, 2), np.int32),
             np.ones(1, np.int32),
             np.zeros(1, bool),
@@ -164,6 +179,25 @@ def _texture_to_rgba_u32_mips(tex: TextureData, max_dim: int | None) -> list[np.
     return mips
 
 
+def _page_major(quads: np.ndarray) -> np.ndarray:
+    """(h, w, 4) quad records -> (pages*128, 4) page-major layout.
+
+    Pads the mip to whole 16x8 pages (padding records are never addressed:
+    texel coordinates are wrapped to the logical w/h before paging)."""
+    h, w = quads.shape[:2]
+    ph = (h + PAGE_H - 1) // PAGE_H * PAGE_H
+    pw = (w + PAGE_W - 1) // PAGE_W * PAGE_W
+    if (ph, pw) != (h, w):
+        padded = np.zeros((ph, pw, 4), quads.dtype)
+        padded[:h, :w] = quads
+        quads = padded
+    return (
+        quads.reshape(ph // PAGE_H, PAGE_H, pw // PAGE_W, PAGE_W, 4)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, 4)
+    )
+
+
 class _AtlasBuilder:
     def __init__(self, max_dim: int | None = None):
         self.chunks: list[np.ndarray] = []
@@ -172,32 +206,35 @@ class _AtlasBuilder:
         self.mips: list[int] = []
         self.srgb: list[bool] = []
         self.cursor = 0
-        self.cache: dict[int, int] = {}
+        # dedup by object identity; the tuple value keeps a strong reference
+        # to the texture so a freed object's id can never alias a cached key
+        self.cache: dict[int, tuple[int, TextureData]] = {}
         self.max_dim = max_dim
 
     def add(self, tex: TextureData) -> int:
         key = id(tex)
         if key in self.cache:
-            return self.cache[key]
+            return self.cache[key][0]
         mips = _texture_to_rgba_u32_mips(tex, self.max_dim)
         offs = []
         for m in mips:
             offs.append(self.cursor)
-            self.chunks.append(m.reshape(-1, 4))
-            self.cursor += m.shape[0] * m.shape[1]
+            paged = _page_major(m)
+            self.chunks.append(paged)
+            self.cursor += paged.shape[0] // PAGE_RECORDS
         tid = len(self.sizes)
         self.offsets.append(offs)
         self.sizes.append((mips[0].shape[1], mips[0].shape[0]))
         self.mips.append(len(mips))
         self.srgb.append(is_srgb(tex.format))
-        self.cache[key] = tid
+        self.cache[key] = (tid, tex)
         return tid
 
     def build(self) -> TextureAtlas:
         if not self.sizes:
             return TextureAtlas.empty()
         n = len(self.sizes)
-        off = np.zeros((n, MAX_MIPS), np.int64)
+        off = np.zeros((n, MAX_MIPS), np.int32)
         for i, o in enumerate(self.offsets):
             for m in range(MAX_MIPS):
                 off[i, m] = o[min(m, len(o) - 1)]

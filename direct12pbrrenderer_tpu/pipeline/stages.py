@@ -66,8 +66,8 @@ def rasterize(setup, bins, width: int, band_h: int, tile_h: int, tile_w: int,
 
 def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
                   band_h: int, texture_filter: str, y_offset=0,
-                  bins=None, tile_h: int = 0, tile_w: int = 0,
-                  use_tex_kernel: bool = False) -> gbuffer.GBuffer:
+                  use_tex_kernel: bool = False,
+                  tex_interpret: bool = False) -> gbuffer.GBuffer:
     tri_rows = jnp.concatenate(
         [raster.pack_pixel_data(setup),
          buffers["mat_rows"][buffers["tri_material"]]], axis=1,
@@ -75,6 +75,7 @@ def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
     return gbuffer.gbuffer_shade(
         tri_id, depth, tri_rows, buffers["tris"], vattrs, buffers["atlas"],
         width, band_h, y_offset=y_offset, texture_filter=texture_filter,
+        use_tex_kernel=use_tex_kernel, tex_interpret=tex_interpret,
     )
 
 

@@ -102,7 +102,8 @@ def profile_pipeline(pipe, camera, iters: int = 5):
     tri_id, depth = run("raster", rastf, setup, bins)
 
     gbf = lambda t, d, s, b, va: stages.gbuffer_shade(
-        t, d, s, b, va, w, h, texture_filter=pipe.texture_filter
+        t, d, s, b, va, w, h, texture_filter=pipe.texture_filter,
+        use_tex_kernel=getattr(pipe, "use_tex_kernel", False),
     )
     gb = run("gbuffer_shade", gbf, tri_id, depth, setup, buffers, vattrs)
 

@@ -1,0 +1,159 @@
+"""Software texture cache (ops/texcache.py) vs the XLA sampler.
+
+The kernel path must reproduce gbuffer.sample_atlas_trilinear exactly: the
+page cover + VMEM gather resolves the covered pixels, the pinned sidecar the
+rest, and the combination is the same trilinear math in the same order.
+Kernels run in Pallas interpret mode (CPU CI); the TPU compile path is
+exercised by the benchmark/profile tools on hardware.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from direct12pbrrenderer_tpu.ops import gbuffer, texcache
+from direct12pbrrenderer_tpu.pipeline import scene_pack
+from direct12pbrrenderer_tpu.resource.formats import ETextureFormat
+
+
+class _StubTexture:
+    """Minimal TextureData stand-in for the atlas builder."""
+
+    def __init__(self, rng, w, h, srgb=False):
+        self.format = (
+            ETextureFormat.R8G8B8A8_UNORM_SRGB
+            if srgb
+            else ETextureFormat.R8G8B8A8_UNORM
+        )
+        self.mips = []
+        while True:
+            self.mips.append(
+                rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            )
+            if w == 1 and h == 1:
+                break
+            w, h = max(w >> 1, 1), max(h >> 1, 1)
+        self.mip_levels = len(self.mips)
+
+    def mip_array_rgba(self, mip):
+        return self.mips[mip]
+
+
+def _build_atlas(rng, specs):
+    builder = scene_pack._AtlasBuilder()
+    for w, h, srgb in specs:
+        builder.add(_StubTexture(rng, w, h, srgb))
+    a = builder.build()
+    return gbuffer.AtlasDevice(
+        jnp.asarray(a.data),
+        jnp.asarray(a.page_base),
+        jnp.asarray(a.base_size),
+        jnp.asarray(a.n_mips),
+        jnp.asarray(a.srgb),
+    )
+
+
+def _random_case(rng, h, w, n_tex, uv_scale=2.0, lod_max=6.0):
+    tex = jnp.asarray(rng.integers(0, n_tex, (h, w, 5)), jnp.int32)
+    u = jnp.asarray(rng.random((h, w), np.float32) * uv_scale - 0.5)
+    v = jnp.asarray(rng.random((h, w), np.float32) * uv_scale - 0.5)
+    lod = jnp.asarray(rng.random((h, w, 5), np.float32) * lod_max)
+    active = jnp.asarray(rng.random((h, w, 5)) > 0.2)
+    return tex, u, v, lod, active
+
+
+@pytest.mark.parametrize("filter", ["trilinear", "bilinear"])
+def test_tiled_matches_raw_sampler(filter):
+    rng = np.random.default_rng(7)
+    atlas = _build_atlas(rng, [(64, 64, False), (32, 16, True), (128, 64, False)])
+    h, w = 24, 128  # one tile
+    tex, u, v, lod, active = _random_case(rng, h, w, 3)
+    # fully random uv/lod is an adversarial working set (real frames are
+    # tile-coherent); caps sized so every distinct page fits -> full cover
+    rgba, covered, approx = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, filter=filter, interpret=True,
+        cap_lo=156, cap_hi=52,
+    )
+    ref = gbuffer.sample_atlas_raw(
+        atlas, tex, u[..., None], v[..., None], lod, filter=filter
+    )
+    cov = np.asarray(covered)
+    act = np.asarray(active)
+    assert cov[act].all()
+    np.testing.assert_allclose(
+        np.asarray(rgba)[cov], np.asarray(ref)[cov], atol=1e-6
+    )
+    assert not cov[~act].any()
+    assert not np.asarray(approx)[~act].any()
+
+
+def test_textured_covered_exact_overflow_approximated():
+    """Exact where covered; page-budget overflows (huge textures, scattered
+    uv -> sparse covers) resolve to the texture's 1x1-mip average color."""
+    rng = np.random.default_rng(3)
+    atlas = _build_atlas(rng, [(512, 512, True), (256, 128, False)])
+    h, w = 48, 128
+    tex, u, v, lod, active = _random_case(rng, h, w, 2, uv_scale=4.0,
+                                          lod_max=1.5)
+    out, approx = texcache.sample_atlas_textured(
+        atlas, tex, u, v, lod, active, interpret=True
+    )
+    ref = gbuffer.sample_atlas_trilinear(
+        atlas, tex, u[..., None], v[..., None], lod
+    )
+    act = np.asarray(active)
+    ap = np.asarray(approx)
+    exact = act & ~ap
+    np.testing.assert_allclose(
+        np.asarray(out)[exact], np.asarray(ref)[exact], atol=1e-6
+    )
+    if ap.any():
+        # overflow taps = the coarsest mip's (sRGB-applied) bilinear sample
+        fb = gbuffer.sample_atlas_trilinear(
+            atlas, tex, u[..., None], v[..., None],
+            jnp.full_like(lod, 99.0), filter="bilinear",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[ap], np.asarray(fb)[ap], atol=1e-6
+        )
+
+
+def test_wrap_seam_and_mip_clamp():
+    """uv far outside [0,1] (wrap) and lod beyond the chain (clamp)."""
+    rng = np.random.default_rng(11)
+    atlas = _build_atlas(rng, [(32, 32, False)])
+    h, w = 24, 128
+    tex = jnp.zeros((h, w, 5), jnp.int32)
+    u = jnp.asarray(rng.random((h, w), np.float32) * 20.0 - 10.0)
+    v = jnp.asarray(rng.random((h, w), np.float32) * 20.0 - 10.0)
+    lod = jnp.asarray(rng.random((h, w, 5), np.float32) * 12.0)
+    active = jnp.ones((h, w, 5), bool)
+    out, _ = texcache.sample_atlas_textured(
+        atlas, tex, u, v, lod, active, interpret=True
+    )
+    ref = gbuffer.sample_atlas_trilinear(
+        atlas, tex, u[..., None], v[..., None], lod
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_pick_tile():
+    assert texcache.pick_tile(1080, 1920) == (24, 128)
+    assert texcache.pick_tile(192, 256) == (24, 128)
+    th, tw = texcache.pick_tile(960, 1440)
+    assert 960 % th == 0 and 1440 % tw == 0 and (th * tw) % 128 == 0
+    assert texcache.pick_tile(7, 13) is None
+
+
+def test_page_major_layout_addressing():
+    """page_record_index must address exactly the texel _page_major placed."""
+    rng = np.random.default_rng(5)
+    h, w = 24, 40  # non-multiple of page dims -> padded
+    quads = rng.integers(0, 2**32, (h, w, 4), dtype=np.uint32)
+    paged = scene_pack._page_major(quads)
+    for x0, y0 in [(0, 0), (39, 23), (17, 9), (15, 7), (16, 8)]:
+        idx = int(
+            gbuffer.page_record_index(jnp.int32(0), jnp.int32(w),
+                                      jnp.int32(x0), jnp.int32(y0))
+        )
+        np.testing.assert_array_equal(paged[idx], quads[y0, x0])
