@@ -22,7 +22,7 @@ whole thing traces into a single fused frame function.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Callable
 
 
@@ -43,18 +43,36 @@ class ResourceRegistry:
         return self._id_to_name[rid]
 
 
+@dataclass(frozen=True)
+class ResourceDesc:
+    """Transient-resource description (FGResourceDescriptionTable entry,
+    FrameGraphResource.h:191-209): the declared shape/dtype contract between
+    the producing and consuming passes."""
+
+    shape: tuple[int, ...]
+    dtype: str
+
+
 @dataclass
 class RenderPass:
     """A pass: declared reads/writes + a pure function over the environment.
 
     fn(env: dict[str, Any]) -> dict[str, Any] of produced resources. A pass
     may also read and re-write the same name (e.g. bloom merging into the
-    shading RT, matching WriteResource on an existing id)."""
+    shading RT, matching WriteResource on an existing id).
+
+    `declares` optionally binds resource names to ResourceDescs. Like the
+    reference's CreateResource/CheckResourceDescription, a name declared by
+    two passes must carry an identical description (validated at compile),
+    and the array a pass actually produces must match its declaration
+    (validated at trace time) — producer/consumer shape mismatches become
+    named graph errors instead of opaque XLA ones."""
 
     name: str
     reads: tuple[str, ...]
     writes: tuple[str, ...]
     fn: Callable[[dict], dict]
+    declares: dict[str, ResourceDesc] = field(default_factory=dict)
 
 
 @dataclass
@@ -62,6 +80,7 @@ class CompiledGraph:
     order: list[RenderPass]
     lifetimes: dict[str, tuple[int, int]]  # name -> (first pass idx, last pass idx)
     donatable: dict[int, tuple[str, ...]]  # pass idx -> names dead after it
+    descriptions: dict[str, ResourceDesc] = field(default_factory=dict)
 
 
 class GraphError(RuntimeError):
@@ -75,6 +94,21 @@ def compile_graph(passes: list[RenderPass], present: str) -> CompiledGraph:
     by_name = {p.name: p for p in passes}
     if present not in by_name:
         raise GraphError(f"present pass {present!r} not registered")
+
+    # description table: re-declarations must agree
+    # (FGResourceDescriptionTable / CheckResourceDescription)
+    descriptions: dict[str, ResourceDesc] = {}
+    declared_by: dict[str, str] = {}
+    for p in passes:
+        for rname, desc in p.declares.items():
+            if rname in descriptions and descriptions[rname] != desc:
+                raise GraphError(
+                    f"resource {rname!r} re-declared with a mismatched "
+                    f"description: pass {declared_by[rname]!r} declared "
+                    f"{descriptions[rname]}, pass {p.name!r} declared {desc}"
+                )
+            descriptions.setdefault(rname, desc)
+            declared_by.setdefault(rname, p.name)
 
     # producer map: resource -> passes that write it, in registration order
     producers: dict[str, list[RenderPass]] = {}
@@ -134,7 +168,7 @@ def compile_graph(passes: list[RenderPass], present: str) -> CompiledGraph:
         if end < len(order) - 1:  # dead before present -> aliasable
             donatable.setdefault(end, ())
             donatable[end] = (*donatable[end], name)
-    return CompiledGraph(order, lifetimes, donatable)
+    return CompiledGraph(order, lifetimes, donatable, descriptions)
 
 
 def execute(graph: CompiledGraph, env: dict[str, Any]) -> dict[str, Any]:
@@ -149,6 +183,15 @@ def execute(graph: CompiledGraph, env: dict[str, Any]) -> dict[str, Any]:
         bad = set(out) - set(p.writes)
         if bad:
             raise GraphError(f"pass {p.name!r} wrote undeclared {sorted(bad)}")
+        for rname, val in out.items():
+            desc = graph.descriptions.get(rname)
+            if desc is None or not hasattr(val, "shape"):
+                continue
+            if tuple(val.shape) != tuple(desc.shape) or str(val.dtype) != desc.dtype:
+                raise GraphError(
+                    f"pass {p.name!r} produced {rname!r} as "
+                    f"{tuple(val.shape)}/{val.dtype}, declared {desc}"
+                )
         env.update(out)
         # lifetime-based cleanup: drop dead intermediates so jit sees their
         # last use (XLA then reuses the buffers — the transient-aliasing role)

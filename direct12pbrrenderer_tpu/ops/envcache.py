@@ -1,0 +1,370 @@
+"""Float texture cache: VMEM page staging for the deferred-shading taps.
+
+The float sibling of ops/texcache.py, covering the reference's remaining
+per-pixel sampler traffic in `deferred_shading.hlsl:56-70` (prefiltered env
+cube x2 + BRDF LUT split-sum fetches) and `skybox.hlsl` (background cubemap
+fetch): ~4 incoherent XLA gathers/pixel = the bulk of the deferred-shading
+stage once the G-buffer taps are cached (docs/PERF.md).
+
+Same machinery as texcache (page covers per 24x128 screen tile, one staging
+gather of contiguous pages, chunked `take_along_axis` sweeps in a Pallas
+kernel, guaranteed fallback pages), different record format:
+
+* records are CLAMP-addressed 2x2 quads of 4 f32 channels (16 f32 = 64 B)
+  instead of wrap-addressed RGBA8 u32 quads — HDR env data, LUT pairs, and
+  cube faces clamp at edges (common.CubeMipAtlas / make_quad_tex2d);
+* a cubemap = 6 face textures sharing ONE 1x1 fallback page (the cube's
+  average color), so a tile touching many faces still has a guaranteed
+  in-budget resolution for every tap;
+* trilinear mip halves are two groups sharing a `covered` mask: a tap is
+  exact only if BOTH halves made the cover, else the whole tap resolves to
+  the average-color fallback (counted in `approx`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .texcache import (
+    CAP_FB,
+    MAX_MIPS,
+    SEG_CHUNK,
+    _cover_and_match,
+    _tile,
+    _untile,
+    onehot_lookup,
+    pick_tile,  # noqa: F401  (re-exported: callers gate on the same tiling)
+)
+from typing import NamedTuple
+
+PAGE_W = 16
+PAGE_H = 8
+PAGE_RECORDS = PAGE_W * PAGE_H
+REC_F32 = 16  # 4 clamp-quad corners x 4 channels
+
+
+class FloatAtlas(NamedTuple):
+    data: jnp.ndarray       # (P*128, 16) f32 page-major clamp-quad records
+    page_base: jnp.ndarray  # (T, MAX_MIPS) int32 (clamped to last mip)
+    base_size: jnp.ndarray  # (T, 2) int32 (w, h)
+    n_mips: jnp.ndarray     # (T,) int32
+    fb_page: jnp.ndarray    # (T,) int32 — page of the texture's 1x1 average
+
+
+def _quad_clamp(m: np.ndarray) -> np.ndarray:
+    """(h, w, c<=4) -> (h, w, 16) f32 clamp-quad records [c00 c01 c10 c11],
+    channels padded to 4 (same corner layout as common.make_quad_tex2d)."""
+    h, w, c = m.shape
+    if c < 4:
+        m = np.concatenate([m, np.zeros((h, w, 4 - c), m.dtype)], -1)
+    xr = np.minimum(np.arange(w) + 1, w - 1)
+    yd = np.minimum(np.arange(h) + 1, h - 1)
+    right = m[:, xr]
+    down = m[yd]
+    diag = right[yd]
+    return np.concatenate([m, right, down, diag], -1).astype(np.float32)
+
+
+def _page_major(rec: np.ndarray) -> np.ndarray:
+    """(h, w, 16) records -> (pages*128, 16) page-major (16x8-texel pages)."""
+    h, w = rec.shape[:2]
+    ph = (h + PAGE_H - 1) // PAGE_H * PAGE_H
+    pw = (w + PAGE_W - 1) // PAGE_W * PAGE_W
+    if (ph, pw) != (h, w):
+        padded = np.zeros((ph, pw, REC_F32), rec.dtype)
+        padded[:h, :w] = rec
+        rec = padded
+    return (
+        rec.reshape(ph // PAGE_H, PAGE_H, pw // PAGE_W, PAGE_W, REC_F32)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(-1, REC_F32)
+    )
+
+
+class FloatAtlasBuilder:
+    """Host-side builder; textures are full mip chains of (h, w, c<=4)."""
+
+    def __init__(self):
+        self.chunks: list[np.ndarray] = []
+        self.page_base: list[list[int]] = []
+        self.sizes: list[tuple[int, int]] = []
+        self.mips: list[int] = []
+        self.fb: list[int] = []
+        self.cursor = 0
+
+    def _add_pages(self, rec: np.ndarray) -> int:
+        start = self.cursor
+        paged = _page_major(rec)
+        self.chunks.append(paged)
+        self.cursor += paged.shape[0] // PAGE_RECORDS
+        return start
+
+    def _add_one(self, mips: list[np.ndarray], fb_page: int) -> int:
+        offs = [self._add_pages(_quad_clamp(np.asarray(m, np.float32)))
+                for m in mips]
+        tid = len(self.sizes)
+        self.page_base.append(offs)
+        self.sizes.append((mips[0].shape[1], mips[0].shape[0]))
+        self.mips.append(len(mips))
+        self.fb.append(fb_page)
+        return tid
+
+    def _avg_page(self, arrays: list[np.ndarray]) -> int:
+        avg = np.zeros(4, np.float32)
+        n = 0
+        for a in arrays:
+            a = np.asarray(a, np.float32).reshape(-1, a.shape[-1])
+            s = a.sum(0)
+            avg[: a.shape[-1]] += s
+            n += a.shape[0]
+        avg /= max(n, 1)
+        return self._add_pages(np.tile(avg, (1, 1, 4)))
+
+    def add(self, mips: list[np.ndarray]) -> int:
+        """One texture (e.g. the BRDF LUT); fallback = its own average."""
+        fb = self._avg_page([mips[-1]])
+        return self._add_one(mips, fb)
+
+    def add_cube(self, face_chains: list[list[np.ndarray]]) -> int:
+        """6 face mip chains -> 6 consecutive texture ids (returns the first);
+        ONE shared 1x1 average-color fallback page for the whole cube."""
+        fb = self._avg_page([ch[-1] for ch in face_chains])
+        base = None
+        for ch in face_chains:
+            tid = self._add_one(ch, fb)
+            base = tid if base is None else base
+        return base
+
+    def build(self) -> FloatAtlas:
+        n = len(self.sizes)
+        pb = np.zeros((n, MAX_MIPS), np.int32)
+        for i, offs in enumerate(self.page_base):
+            for m in range(MAX_MIPS):
+                pb[i, m] = offs[min(m, len(offs) - 1)]
+        return FloatAtlas(
+            jnp.asarray(np.concatenate(self.chunks, 0)),
+            jnp.asarray(pb),
+            jnp.asarray(np.asarray(self.sizes, np.int32)),
+            jnp.asarray(np.asarray(self.mips, np.int32)),
+            jnp.asarray(np.asarray(self.fb, np.int32)),
+        )
+
+
+# ----------------------------------------------------------------- plan ----
+def fused_table(atlas: FloatAtlas) -> jnp.ndarray:
+    """(T*MAX_MIPS, 4) f32 [base_w, base_h, page_base, fb_page]."""
+    t = atlas.n_mips.shape[0]
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(atlas.base_size[:, None, :], (t, MAX_MIPS, 2)),
+            atlas.page_base[:, :MAX_MIPS, None],
+            jnp.broadcast_to(atlas.fb_page[:, None, None], (t, MAX_MIPS, 1)),
+        ],
+        axis=-1,
+    ).reshape(t * MAX_MIPS, 4).astype(jnp.float32)
+
+
+def _tap_addresses_clamp(row, mip, u, v):
+    """Clamp-addressed page/record/frac for one tap; mirrors
+    common._cube_atlas_bilinear / sample_quad_tex2d addressing exactly
+    (x0 = clip(floor(x), 0, w-1); fx = clip(x - x0, 0, 1))."""
+    w = jnp.maximum(row[..., 0].astype(jnp.int32) >> mip, 1)
+    h = jnp.maximum(row[..., 1].astype(jnp.int32) >> mip, 1)
+    page_base = row[..., 2].astype(jnp.int32)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.clip(jnp.floor(x), 0, (w - 1).astype(jnp.float32))
+    y0 = jnp.clip(jnp.floor(y), 0, (h - 1).astype(jnp.float32))
+    fx = jnp.clip(x - x0, 0.0, 1.0)
+    fy = jnp.clip(y - y0, 0.0, 1.0)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    pages_x = (w + 15) >> 4
+    page = page_base + (y0 >> 3) * pages_x + (x0 >> 4)
+    intra = (y0 & 7) * 16 + (x0 & 15)
+    return page, intra, fx, fy
+
+
+# --------------------------------------------------------------- kernel ----
+def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
+            blocks, caps, bases, n_groups):
+    """Resolve G groups of f32 quad taps against staged pages.
+
+    tbl: (1, CAPT*16, 128) f32 — page p value v at row p*16+v
+         (v = corner*4 + channel)
+    rec/fx/fy: (1, G, blocks, 128); out: (1, G, 4, blocks, 128) f32
+    """
+    t = pl.program_id(0)
+    for g in range(n_groups):
+        base, cap = bases[g], caps[g]
+        rec = rec_ref[0, g]                            # (blocks, 128)
+        seg = rec >> 7
+        lane = rec & 127
+        lane_b = jnp.broadcast_to(
+            lane[None], (SEG_CHUNK * REC_F32, blocks, 128)
+        ).reshape(SEG_CHUNK * REC_F32 * blocks, 128)
+
+        def chunk_body(c, quad, base=base, seg=seg, lane_b=lane_b):
+            rows = tbl_ref[
+                0, pl.ds(pl.multiple_of(
+                    base * REC_F32 + c * (SEG_CHUNK * REC_F32),
+                    SEG_CHUNK * REC_F32), SEG_CHUNK * REC_F32)
+            ]                                          # (CHUNK*16, 128)
+            x = jnp.broadcast_to(
+                rows[:, None, :], (SEG_CHUNK * REC_F32, blocks, 128)
+            ).reshape(SEG_CHUNK * REC_F32 * blocks, 128)
+            gat = jnp.take_along_axis(x, lane_b, axis=1)
+            gat = gat.reshape(SEG_CHUNK, REC_F32, blocks, 128)
+            sel = jnp.zeros((REC_F32, blocks, 128), jnp.float32)
+            local = seg - c * SEG_CHUNK
+            for sg in range(SEG_CHUNK):
+                sel = jnp.where((local == sg)[None], gat[sg], sel)
+            hit = (local >= 0) & (local < SEG_CHUNK)
+            return jnp.where(hit[None], sel, quad)
+
+        n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
+        quad = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            jnp.zeros((REC_F32, blocks, 128), jnp.float32),
+        )
+        fx = fx_ref[0, g]
+        fy = fy_ref[0, g]
+        w00 = (1 - fx) * (1 - fy)
+        w01 = fx * (1 - fy)
+        w10 = (1 - fx) * fy
+        w11 = fx * fy
+        comps = [
+            quad[c] * w00 + quad[4 + c] * w01
+            + quad[8 + c] * w10 + quad[12 + c] * w11
+            for c in range(4)
+        ]
+        out_ref[0, g] = jnp.stack(comps, 0)
+
+
+# ----------------------------------------------------------------- api -----
+@functools.partial(
+    jax.jit,
+    static_argnames=("share", "tile_h", "tile_w", "cap", "interpret"),
+)
+def sample_env_tiled(
+    atlas: FloatAtlas,
+    tex,        # (H, W, G) int32
+    mip,        # (H, W, G) int32 (pre-clamped by the caller)
+    u,          # (H, W, G)
+    v,          # (H, W, G)
+    active,     # (H, W, G) bool
+    share: tuple = (),   # tuples of group indices sharing a covered mask
+    tile_h: int = 24,
+    tile_w: int = 128,
+    cap: int = 28,
+    interpret: bool = False,
+):
+    """Batched clamp-quad sampling of G tap groups through per-tile page
+    covers. Returns (rgba (H, W, G, 4), covered (H, W, G), approx (H, W, G)).
+
+    `covered` taps are exact (bit-equal to the XLA samplers); `approx` taps
+    overflowed the page budget and resolved to the texture's average color.
+    Groups listed together in `share` (trilinear mip halves) AND their
+    covered masks: a tap is never a blend of exact and fallback halves."""
+    height, width, g = u.shape
+    p = tile_h * tile_w
+    blocks = -(-p // 128)
+    blocks += (-blocks) % 8
+    n_tiles = (height // tile_h) * (width // tile_w)
+    assert (cap + CAP_FB) % SEG_CHUNK == 0
+
+    table = fused_table(atlas)
+    key = tex * MAX_MIPS + mip
+    row = onehot_lookup(table, key)                    # (H, W, G, 4)
+
+    def tile_g(x):  # (H, W, G) -> (tiles, G, blocks, 128)
+        return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
+
+    act_t = tile_g(active)
+
+    # guaranteed fallback: the texture's 1x1 average page, record 0
+    fb_page = row[..., 3].astype(jnp.int32)
+    fb_list, _, fb_slot, fb_found = _cover_and_match(
+        tile_g(fb_page), act_t, CAP_FB
+    )
+
+    page, intra, fx, fy = _tap_addresses_clamp(row, mip, u, v)
+    page_list, count, slot, found = _cover_and_match(tile_g(page), act_t, cap)
+
+    # shared covers: a trilinear tap is exact only if every half covered
+    covered_t = found
+    for grp in share:
+        if len(grp) > 1:
+            both = functools.reduce(
+                jnp.logical_and, [found[:, i] for i in grp]
+            )
+            for i in grp:
+                covered_t = covered_t.at[:, i].set(both)
+    resolved_t = covered_t | fb_found
+
+    rec_t = jnp.where(covered_t, (CAP_FB + slot) * 128 + tile_g(intra),
+                      fb_slot * 128)
+    zero = jnp.zeros_like(fx)
+    fx_t = jnp.where(covered_t, tile_g(fx), tile_g(zero))
+    fy_t = jnp.where(covered_t, tile_g(fy), tile_g(zero))
+
+    # page table: per group [fallback (CAP_FB) | cover (cap)]
+    ids = jnp.concatenate([fb_list, page_list], axis=-1)   # (tiles, G, span)
+    cnts = CAP_FB + count                                  # (tiles, G)
+    span = cap + CAP_FB
+    capt = g * span
+    ids = ids.reshape(n_tiles, capt)
+
+    n_pages = atlas.data.shape[0] // PAGE_RECORDS
+    pages_view = atlas.data.reshape(n_pages, PAGE_RECORDS, REC_F32)
+    staged = jnp.take(pages_view, ids.reshape(-1), axis=0)
+    staged = staged.reshape(n_tiles, capt, PAGE_RECORDS, REC_F32)
+    staged = staged.transpose(0, 1, 3, 2).reshape(
+        n_tiles, capt * REC_F32, PAGE_RECORDS
+    )
+
+    caps_t = tuple(span for _ in range(g))
+    bases = tuple(i * span for i in range(g))
+    kernel = functools.partial(
+        _kernel, blocks=blocks, caps=caps_t, bases=bases, n_groups=g,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, capt * REC_F32, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, 4, blocks, 128), lambda t, *_: (t, 0, 0, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, g, 4, blocks, 128), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(cnts, staged, rec_t, fx_t, fy_t)
+
+    rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
+                        (2, 3))                        # (H, W, G, 4)
+    covered = jnp.moveaxis(
+        _untile(covered_t, height, width, tile_h, tile_w), 0, -1
+    )
+    resolved = jnp.moveaxis(
+        _untile(resolved_t, height, width, tile_h, tile_w), 0, -1
+    )
+    return rgba, covered, resolved & ~covered

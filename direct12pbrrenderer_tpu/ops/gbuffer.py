@@ -176,9 +176,7 @@ def _quantize8(x):
 def gbuffer_shade(
     tri_id,       # (H, W) int32 from rasterize
     depth,        # (H, W) f32
-    tri_rows,     # (T, 32): pack_pixel_data ++ material row per triangle
-    tris,         # (T, 3) int32
-    vertex_attrs, # (V, 8) from pack_vertex_attrs
+    tri_rows,     # (T, 64): pack_pixel_data ++ material ++ 3 vertex rows
     atlas: AtlasDevice,
     width: int,
     height: int,
@@ -197,11 +195,10 @@ def gbuffer_shade(
     )
     py = py + y_offset
 
-    row = tri_rows[tid]  # (H, W, 32) — ONE gather for all per-tri data
+    row = tri_rows[tid]  # (H, W, 64) — ONE gather for ALL per-pixel data
     _, lam_p, _ = _bary(row, px, py)
 
-    vidx = tris[tid]  # (H, W, 3)
-    attrs = vertex_attrs[vidx]  # (H, W, 3, 8) — contiguous per-vertex rows
+    attrs = row[..., 32:56].reshape(*row.shape[:-1], 3, 8)
     interp = (attrs * lam_p[..., None]).sum(-2)  # (H, W, 8)
     return _shade_from_interp(interp, row[..., 16:32], mask, depth, atlas,
                               texture_filter, use_tex_kernel, tex_interpret)

@@ -59,7 +59,8 @@ def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0, full_heig
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "fov", "ratio", "near", "far", "full_height"),
+    static_argnames=("width", "height", "fov", "ratio", "near", "far",
+                     "full_height", "env_ids", "env_tile", "env_interpret"),
 )
 def deferred_shade(
     gb_albedo_emission,   # (H, W, 4)
@@ -79,6 +80,10 @@ def deferred_shade(
     height: int,
     y_offset=0,
     full_height: int | None = None,
+    env_cache=None,          # envcache.FloatAtlas (kernel path), or None
+    env_ids: tuple | None = None,  # (env_base, sky_base, lut_tid, env_mips)
+    env_tile: tuple | None = None,
+    env_interpret: bool = False,
 ):
     albedo = gb_albedo_emission[..., :3]
     emission = gb_albedo_emission[..., 3]
@@ -119,11 +124,46 @@ def deferred_shade(
     n_dot_v = jnp.maximum((normal * view_dir).sum(-1), 0.0)
     refl = 2.0 * (normal * view_dir).sum(-1, keepdims=True) * normal - view_dir
     refl = refl / jnp.maximum(jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-20)
-    env_irr = common.sample_cube_atlas_trilinear(
-        prefiltered, refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
-    )[..., :3]
-    lut, lut_size = brdf_lut_quad
-    env_brdf = common.sample_quad_tex2d(lut, lut_size, lut_size, roughness, n_dot_v)
+    ray = cam_vec / jnp.maximum(
+        jnp.linalg.norm(cam_vec, axis=-1, keepdims=True), 1e-20
+    )
+    if env_ids is not None:
+        # all four per-pixel sampler taps (env trilinear halves, BRDF LUT,
+        # background sky) through ONE float page-cache kernel call
+        from . import envcache
+
+        env_base, sky_base, lut_tid, env_mips = env_ids
+        lvl = jnp.clip(roughness * PREFILTER_ENVMAP_MIP_LEVELS, 0.0,
+                       env_mips - 1.0)
+        lo = jnp.floor(lvl).astype(jnp.int32)
+        fracm = (lvl - lo)[..., None]
+        hi = jnp.minimum(lo + 1, env_mips - 1)
+        face_e, ue, ve = common.cubemap_coords(refl)
+        face_s, us, vs = common.cubemap_coords(ray)
+        zero = jnp.zeros_like(lo)
+        tex5 = jnp.stack([env_base + face_e, env_base + face_e,
+                          jnp.full_like(lo, lut_tid), sky_base + face_s], -1)
+        mip5 = jnp.stack([lo, hi, zero, zero], -1)
+        uq = jnp.stack([ue, ue, roughness, us], -1)
+        vq = jnp.stack([ve, ve, n_dot_v, vs], -1)
+        act = jnp.stack([mask, mask, mask, ~mask], -1)
+        th, tw = env_tile
+        rgba, _, _ = envcache.sample_env_tiled(
+            env_cache, tex5, mip5, uq, vq, act, share=((0, 1),),
+            tile_h=th, tile_w=tw, interpret=env_interpret,
+        )
+        env_irr = rgba[..., 0, :3] * (1 - fracm) + rgba[..., 1, :3] * fracm
+        env_brdf = rgba[..., 2, :2]
+        sky = rgba[..., 3, :3]
+    else:
+        env_irr = common.sample_cube_atlas_trilinear(
+            prefiltered, refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
+        )[..., :3]
+        lut, lut_size = brdf_lut_quad
+        env_brdf = common.sample_quad_tex2d(
+            lut, lut_size, lut_size, roughness, n_dot_v
+        )
+        sky = None
     f0 = common.compute_f0(albedo, metallic[..., None])
     env_specular = env_irr * (f0 * env_brdf[..., 0:1] + env_brdf[..., 1:2])
 
@@ -224,6 +264,6 @@ def deferred_shade(
     lit = env_diffuse + env_specular + point_light + emission_lum
 
     # --- skybox (skybox.hlsl): background pixels sample the cubemap --------
-    ray = cam_vec / jnp.maximum(jnp.linalg.norm(cam_vec, axis=-1, keepdims=True), 1e-20)
-    sky = common._cube_atlas_bilinear(skybox, ray, jnp.int32(0))[..., :3]
+    if sky is None:
+        sky = common._cube_atlas_bilinear(skybox, ray, jnp.int32(0))[..., :3]
     return jnp.where(mask[..., None], lit, sky)

@@ -40,6 +40,8 @@ def build_sharded_frame(
     texture_filter: str = "trilinear",
     max_active_lights: int = 64,
     pallas_interpret: bool = False,
+    use_tex_kernel: bool | None = None,
+    env_ids: tuple | None = None,
 ):
     """Returns jit(frame) where raster/shade are row-sharded over mesh axis
     'sp'. The returned function takes the same pytree of buffers as the
@@ -54,6 +56,14 @@ def build_sharded_frame(
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     use_pallas = use_pallas and (bin_cap % 128 == 0)
+    if use_tex_kernel is None:
+        use_tex_kernel = jax.default_backend() not in ("cpu",)
+    from ..ops import texcache as _texcache
+
+    band_tile = _texcache.pick_tile(config.height // n_dev, config.width)
+    use_tex_kernel = use_tex_kernel and band_tile is not None
+    if band_tile is None:
+        env_ids = None
 
     def band_render(
         buffers, model_mats, normal_mats, instance_visible, light_valid,
@@ -79,11 +89,15 @@ def build_sharded_frame(
         gb = stages.gbuffer_shade(
             tri_id, depth, setup, buffers, vattrs, w, band_h,
             texture_filter=texture_filter, y_offset=y0,
+            use_tex_kernel=use_tex_kernel, tex_interpret=pallas_interpret,
         )
         active = stages.active_lights(buffers, light_valid, view, max_active_lights)
         rt_band = stages.deferred_shade(
             gb, buffers, active, inv_view, camera_pos, config, w, band_h,
             y_offset=y0, full_height=h,
+            env_ids=env_ids,
+            env_tile=band_tile if env_ids is not None else None,
+            env_interpret=pallas_interpret,
         )
 
         # gather bands over ICI -> full HDR image on every chip

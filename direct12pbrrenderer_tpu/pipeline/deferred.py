@@ -103,10 +103,11 @@ class DeferredRenderPipeline:
             n_src = int(np.log2(base.shape[1])) + 1
             src = ibl.build_cubemap_mips(base, n_src)
             size = prefilter_size or min(PREFILTER_ENVMAP_SIZE, base.shape[1])
-            self.prefiltered = CubeMipAtlas(
-                ibl.prefilter_env_map(tuple(src), out_size=size)
-            )
+            pf = ibl.prefilter_env_map(tuple(src), out_size=size)
+            self.prefiltered = CubeMipAtlas(pf)
+            self.prefiltered_mip_faces = pf
             self.skybox_mip0 = CubeMipAtlas([base])
+            self.skybox_faces_mip0 = base
             self.sh_pack = jnp.asarray(cube.sh.as_array())
         else:
             size = prefilter_size or 64
@@ -115,8 +116,31 @@ class DeferredRenderPipeline:
                 for m in range(PREFILTER_ENVMAP_MIP_LEVELS)
             ]
             self.prefiltered = CubeMipAtlas(zeros)
+            self.prefiltered_mip_faces = zeros
             self.skybox_mip0 = CubeMipAtlas([jnp.zeros((6, 8, 8, 3), jnp.float32)])
+            self.skybox_faces_mip0 = jnp.zeros((6, 8, 8, 3), jnp.float32)
             self.sh_pack = jnp.zeros((7, 4), jnp.float32)
+
+        # float page-cache atlas for the deferred-shading taps (env cube
+        # trilinear halves + BRDF LUT + skybox) — the kernel-path analog of
+        # the texture atlas above (ops/envcache.py)
+        from ..ops import envcache as _envcache
+
+        self.use_env_kernel = self.use_tex_kernel
+        self.env_ids = None
+        if self.use_env_kernel:
+            b = _envcache.FloatAtlasBuilder()
+            pf_np = [np.asarray(m) for m in self.prefiltered_mip_faces]
+            env_base = b.add_cube(
+                [[m[f] for m in pf_np] for f in range(6)]
+            )
+            sky_np = np.asarray(self.skybox_faces_mip0)
+            sky_base = b.add_cube([[sky_np[f]] for f in range(6)])
+            lut_tid = b.add([np.asarray(self.brdf_lut)])
+            self.env_atlas = b.build()
+            self.env_ids = (env_base, sky_base, lut_tid,
+                            len(pf_np))
+            self.env_tile = _envcache.pick_tile(cfg.height, cfg.width)
 
         self.cluster_bounds = jnp.asarray(
             clustered.cluster_bounds(cfg.fov, cfg.ratio, cfg.near, cfg.far)
@@ -164,6 +188,8 @@ class DeferredRenderPipeline:
             "PrefilterEnvMap": self.prefiltered,
             "SkyBoxTexture": self.skybox_mip0,
         }
+        if self.env_ids is not None:
+            self.buffers["EnvCache"] = self.env_atlas
 
         self.graph = self._build_graph()
         self.avg_luminance = jnp.asarray(0.0, jnp.float32)
@@ -205,7 +231,9 @@ class DeferredRenderPipeline:
                     tri_id, rows64, bins, w, h, self.tile_h, self.tile_w
                 )
                 gb = gbuffer.gbuffer_shade_planar(
-                    tri_id, depth, planes, env["atlas"], self.texture_filter
+                    tri_id, depth, planes, env["atlas"], self.texture_filter,
+                    use_tex_kernel=self.use_tex_kernel,
+                    tex_interpret=self.pallas_interpret,
                 )
             else:
                 gb = stages.gbuffer_shade(
@@ -229,7 +257,10 @@ class DeferredRenderPipeline:
                 env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask
             )
             rt = stages.deferred_shade(
-                gb, env, active, env["InvView"], env["CameraPos"], cfg, w, h
+                gb, env, active, env["InvView"], env["CameraPos"], cfg, w, h,
+                env_ids=self.env_ids,
+                env_tile=self.env_tile if self.env_ids is not None else None,
+                env_interpret=self.pallas_interpret,
             )
             return {"DeferredShadingRT": rt}
 
@@ -279,18 +310,33 @@ class DeferredRenderPipeline:
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
                  "BinCounts"),
                 gbuffer_pass,
+                declares={
+                    "GBufferA": fg.ResourceDesc((h, w, 4), "float32"),
+                    "GBufferB": fg.ResourceDesc((h, w, 2), "float32"),
+                    "GBufferC": fg.ResourceDesc((h, w, 3), "float32"),
+                },
             ),
             fg.RenderPass(
                 "DeferredShading",
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
                  "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
-                 "FrustumCluster", "InvView", "CameraPos"),
+                 "FrustumCluster", "InvView", "CameraPos")
+                + (("EnvCache",) if self.env_ids is not None else ()),
                 ("DeferredShadingRT",),
                 deferred_pass,
+                declares={
+                    "GBufferA": fg.ResourceDesc((h, w, 4), "float32"),
+                    "GBufferB": fg.ResourceDesc((h, w, 2), "float32"),
+                    "GBufferC": fg.ResourceDesc((h, w, 3), "float32"),
+                    "DeferredShadingRT": fg.ResourceDesc((h, w, 3), "float32"),
+                },
             ),
             fg.RenderPass("Skybox", (), ("DeferredShadingRT",), skybox_pass),
             fg.RenderPass(
-                "Bloom", ("DeferredShadingRT",), ("DeferredShadingRT",), bloom_pass
+                "Bloom", ("DeferredShadingRT",), ("DeferredShadingRT",), bloom_pass,
+                declares={
+                    "DeferredShadingRT": fg.ResourceDesc((h, w, 3), "float32"),
+                },
             ),
             fg.RenderPass(
                 "AutoExposure",
@@ -303,6 +349,9 @@ class DeferredRenderPipeline:
                 ("DeferredShadingRT", "AverageLuminance"),
                 ("ToneMappedTexture",),
                 tone_mapping_pass,
+                declares={
+                    "ToneMappedTexture": fg.ResourceDesc((h, w, 3), "float32"),
+                },
             ),
             fg.RenderPass(
                 "Present",

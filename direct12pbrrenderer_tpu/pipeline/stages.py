@@ -68,12 +68,20 @@ def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
                   band_h: int, texture_filter: str, y_offset=0,
                   use_tex_kernel: bool = False,
                   tex_interpret: bool = False) -> gbuffer.GBuffer:
+    # one 256 B row per triangle carrying EVERYTHING pixel shading needs
+    # (edge/bary coefficients, material constants, the 3 vertex attribute
+    # rows) -> the per-pixel stage issues ONE gather instead of four
+    # (row + tris + 3 vertex rows); per-triangle gathers here are off the
+    # per-pixel hot path
+    t = setup.edges.shape[0]
     tri_rows = jnp.concatenate(
         [raster.pack_pixel_data(setup),
-         buffers["mat_rows"][buffers["tri_material"]]], axis=1,
+         buffers["mat_rows"][buffers["tri_material"]],
+         vattrs[buffers["tris"]].reshape(t, 24),
+         jnp.zeros((t, 8), jnp.float32)], axis=1,
     )
     return gbuffer.gbuffer_shade(
-        tri_id, depth, tri_rows, buffers["tris"], vattrs, buffers["atlas"],
+        tri_id, depth, tri_rows, buffers["atlas"],
         width, band_h, y_offset=y_offset, texture_filter=texture_filter,
         use_tex_kernel=use_tex_kernel, tex_interpret=tex_interpret,
     )
@@ -89,7 +97,10 @@ def active_lights(buffers, light_valid, view, max_active: int):
 
 def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
                    config, width: int, band_h: int, y_offset=0,
-                   full_height: int | None = None):
+                   full_height: int | None = None,
+                   env_ids: tuple | None = None,
+                   env_tile: tuple | None = None,
+                   env_interpret: bool = False):
     return shading.deferred_shade(
         gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth,
         gb.mask, buffers["SkyBoxSH"], buffers["PrecomputeBRDF"],
@@ -97,4 +108,6 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
         buffers["ClusterBoundsT"], active, inv_view, camera_pos,
         config.fov, config.ratio, config.near, config.far,
         width, band_h, y_offset=y_offset, full_height=full_height,
+        env_cache=buffers.get("EnvCache") if env_ids is not None else None,
+        env_ids=env_ids, env_tile=env_tile, env_interpret=env_interpret,
     )

@@ -110,8 +110,11 @@ def profile_pipeline(pipe, camera, iters: int = 5):
     lightf = lambda b, lv, v: stages.active_lights(b, lv, v, pipe.max_active_lights)
     active = run("light_cull", lightf, buffers, light_valid, view_j)
 
+    env_ids = getattr(pipe, "env_ids", None)
     defshf = lambda g, b, a, iv, cp: stages.deferred_shade(
-        g, b, a, iv, cp, cfg, w, h
+        g, b, a, iv, cp, cfg, w, h,
+        env_ids=env_ids,
+        env_tile=getattr(pipe, "env_tile", None) if env_ids is not None else None,
     )
     rt = run("deferred_shade", defshf, gb, buffers, active, inv_view, cam_pos)
 
@@ -148,6 +151,8 @@ def main():
     ap.add_argument("--tile", type=int, nargs=2, default=(24, 128))
     ap.add_argument("--bin-cap", type=int, default=2048)
     ap.add_argument("--texture-filter", default="trilinear")
+    ap.add_argument("--no-tex-kernel", action="store_true")
+    ap.add_argument("--no-env-kernel", action="store_true")
     ap.add_argument("--json", default=None, help="also write timings to FILE")
     args = ap.parse_args()
 
@@ -157,13 +162,19 @@ def main():
         asset_root=args.asset_root, width=args.width, height=args.height,
         tile_h=args.tile[0], tile_w=args.tile[1], bin_cap=args.bin_cap,
     ))
-    if args.texture_filter != "trilinear":
+    if args.texture_filter != "trilinear" or args.no_tex_kernel:
         from ..pipeline.deferred import DeferredRenderPipeline
         app.pipeline = DeferredRenderPipeline(
             app.scene, app.pipeline.config, tile_h=args.tile[0],
             tile_w=args.tile[1], bin_cap=args.bin_cap,
             texture_filter=args.texture_filter,
+            use_tex_kernel=False if args.no_tex_kernel else None,
         )
+    if args.no_env_kernel and app.pipeline.env_ids is not None:
+        import jax
+        app.pipeline.env_ids = None
+        app.pipeline.graph = app.pipeline._build_graph()
+        app.pipeline._frame_jit = jax.jit(app.pipeline._frame)
 
     t = profile_pipeline(app.pipeline, app.camera, iters=args.iters)
     total = sum(v for k, v in t.items() if k != "full_frame")

@@ -1,0 +1,130 @@
+"""Float texture cache (ops/envcache.py) vs the XLA env/LUT samplers.
+
+Covered taps must be bit-equal to common.sample_cube_atlas_trilinear /
+sample_quad_tex2d / _cube_atlas_bilinear; page-budget overflows resolve to
+the texture's average color. Kernels run in Pallas interpret mode (CPU CI).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from direct12pbrrenderer_tpu.ops import common, envcache
+
+
+def _cube_chain(rng, size, n_mips, c=3):
+    return [
+        [rng.random((max(size >> m, 1), max(size >> m, 1), c)).astype(np.float32)
+         for m in range(n_mips)]
+        for _ in range(6)
+    ]
+
+
+def _cube_atlas_from_chains(chains):
+    """CubeMipAtlas equivalent of the same data (the XLA reference path)."""
+    n_mips = len(chains[0])
+    return common.CubeMipAtlas(
+        [jnp.asarray(np.stack([np.asarray(ch[m]) for ch in chains]))
+         for m in range(n_mips)]
+    )
+
+
+def _build(rng, env_size=16, env_mips=4, sky_size=8, lut_size=8):
+    env_chains = _cube_chain(rng, env_size, env_mips)
+    sky_chains = _cube_chain(rng, sky_size, 1)
+    lut = rng.random((lut_size, lut_size, 2)).astype(np.float32)
+    b = envcache.FloatAtlasBuilder()
+    env_base = b.add_cube(env_chains)
+    sky_base = b.add_cube(sky_chains)
+    lut_tid = b.add([lut])
+    atlas = b.build()
+    return atlas, env_base, sky_base, lut_tid, env_chains, sky_chains, lut
+
+
+def test_env_tiled_matches_xla_samplers():
+    rng = np.random.default_rng(5)
+    atlas, env_base, sky_base, lut_tid, env_chains, sky_chains, lut = _build(rng)
+    env_ref = _cube_atlas_from_chains(env_chains)
+    sky_ref = _cube_atlas_from_chains(sky_chains)
+    lut_quad = common.make_quad_tex2d(jnp.asarray(lut))
+
+    h, w = 24, 128
+    dirs = rng.normal(size=(h, w, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    rays = rng.normal(size=(h, w, 3)).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    rough = rng.random((h, w), dtype=np.float32)
+    ndv = rng.random((h, w), dtype=np.float32)
+    mask = jnp.asarray(rng.random((h, w)) > 0.4)
+
+    dirs = jnp.asarray(dirs)
+    rays = jnp.asarray(rays)
+    rough = jnp.asarray(rough)
+    ndv = jnp.asarray(ndv)
+
+    n_mips = len(env_chains[0])
+    lvl = jnp.clip(rough * 5.0, 0.0, n_mips - 1.0)
+    lo = jnp.floor(lvl).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_mips - 1)
+    frac = (lvl - lo)[..., None]
+
+    face_e, ue, ve = common.cubemap_coords(dirs)
+    face_s, us, vs = common.cubemap_coords(rays)
+    zero = jnp.zeros((h, w), jnp.int32)
+
+    tex = jnp.stack([env_base + face_e, env_base + face_e,
+                     jnp.full((h, w), lut_tid, jnp.int32),
+                     sky_base + face_s], -1)
+    mip = jnp.stack([lo, hi, zero, zero], -1)
+    u = jnp.stack([ue, ue, rough, us], -1)
+    v = jnp.stack([ve, ve, ndv, vs], -1)
+    active = jnp.stack([mask, mask, mask, ~mask], -1)
+
+    # adversarial random dirs touch all 6 faces x 4 mips (~30 pages/group);
+    # cap sized so everything fits -> full cover expected
+    rgba, covered, approx = envcache.sample_env_tiled(
+        atlas, tex, mip, u, v, active, share=((0, 1),), cap=36,
+        interpret=True,
+    )
+    cov = np.asarray(covered)
+    act = np.asarray(active)
+    assert cov[act].all()
+    assert not cov[~act].any() and not np.asarray(approx).any()
+
+    env_out = np.asarray(rgba[..., 0, :3] * (1 - frac) + rgba[..., 1, :3] * frac)
+    env_want = np.asarray(common.sample_cube_atlas_trilinear(env_ref, dirs, rough * 5.0))
+    m = np.asarray(mask)
+    np.testing.assert_allclose(env_out[m], env_want[m], atol=1e-5)
+
+    lut_out = np.asarray(rgba[..., 2, :2])
+    lut_want = np.asarray(common.sample_quad_tex2d(lut_quad, 8, 8, rough, ndv))
+    np.testing.assert_allclose(lut_out[m], lut_want[m], atol=1e-6)
+
+    sky_out = np.asarray(rgba[..., 3, :3])
+    sky_want = np.asarray(common._cube_atlas_bilinear(sky_ref, rays, jnp.int32(0)))
+    np.testing.assert_allclose(sky_out[~m], sky_want[~m], atol=1e-6)
+
+
+def test_env_overflow_resolves_to_average():
+    """Tiny page budget -> overflows resolve to the cube's average color."""
+    rng = np.random.default_rng(9)
+    atlas, env_base, sky_base, lut_tid, env_chains, _, _ = _build(
+        rng, env_size=64, env_mips=2)
+    h, w = 24, 128
+    dirs = rng.normal(size=(h, w, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs = jnp.asarray(dirs)
+    face, uu, vv = common.cubemap_coords(dirs)
+    ones = jnp.ones((h, w), bool)
+    zero = jnp.zeros((h, w), jnp.int32)
+    rgba, covered, approx = envcache.sample_env_tiled(
+        atlas, (env_base + face)[..., None], zero[..., None],
+        uu[..., None], vv[..., None], ones[..., None],
+        cap=4, interpret=True,
+    )
+    cov = np.asarray(covered)[..., 0]
+    ap = np.asarray(approx)[..., 0]
+    assert ap.any() and (cov | ap).all()
+    # average over the cube's last mip (what add_cube recorded)
+    avg = np.stack([np.asarray(ch[-1]) for ch in env_chains]).mean((0, 1, 2))
+    got = np.asarray(rgba)[..., 0, :3][ap]
+    np.testing.assert_allclose(got, np.broadcast_to(avg, got.shape), atol=1e-5)

@@ -93,3 +93,49 @@ def test_execute_runs_and_validates():
     g2 = fg.compile_graph([bad, mk("present", ("a",), ("bb",))], present="present")
     with pytest.raises(fg.GraphError, match="wrote undeclared"):
         fg.execute(g2, {})
+
+
+def test_description_table_redeclaration_mismatch():
+    """FGResourceDescriptionTable semantics (FrameGraphResource.h:191-209):
+    the same resource declared by two passes must carry identical descs."""
+    import numpy as np
+
+    d1 = fg.ResourceDesc((4, 4, 3), "float32")
+    d2 = fg.ResourceDesc((4, 4, 4), "float32")
+    producer = fg.RenderPass(
+        "producer", (), ("rt",),
+        lambda env: {"rt": np.zeros((4, 4, 3), np.float32)},
+        declares={"rt": d1},
+    )
+    consumer_ok = fg.RenderPass(
+        "present", ("rt",), ("bb",), lambda env: {"bb": env["rt"]},
+        declares={"rt": d1},
+    )
+    g = fg.compile_graph([producer, consumer_ok], present="present")
+    assert g.descriptions["rt"] == d1
+    fg.execute(g, {})
+
+    consumer_bad = fg.RenderPass(
+        "present", ("rt",), ("bb",), lambda env: {"bb": env["rt"]},
+        declares={"rt": d2},
+    )
+    with pytest.raises(fg.GraphError, match="mismatched description"):
+        fg.compile_graph([producer, consumer_bad], present="present")
+
+
+def test_description_table_production_mismatch():
+    """A pass producing an array that violates its own declaration is a
+    named graph error, not an opaque downstream XLA shape error."""
+    import numpy as np
+
+    producer = fg.RenderPass(
+        "producer", (), ("rt",),
+        lambda env: {"rt": np.zeros((2, 2, 4), np.float32)},  # wrong shape
+        declares={"rt": fg.ResourceDesc((4, 4, 3), "float32")},
+    )
+    present = fg.RenderPass(
+        "present", ("rt",), ("bb",), lambda env: {"bb": env["rt"]}
+    )
+    g = fg.compile_graph([producer, present], present="present")
+    with pytest.raises(fg.GraphError, match="produced 'rt'"):
+        fg.execute(g, {})

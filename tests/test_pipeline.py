@@ -137,3 +137,24 @@ def test_dynamic_scene_object_motion(pipeline, camera):
     pipeline.packed.inv_model_mats[0] = np.linalg.inv(sm.world_matrix)
     bmin, bmax = sm.world_bound()
     pipeline.packed.instance_bounds[0] = np.stack([bmin, bmax])
+
+
+def test_kernel_paths_match_xla_paths(camera):
+    """The Pallas cache kernels (texture + env page caches, interpret mode)
+    must reproduce the XLA sampler frame: covered taps are bit-exact, and at
+    this scene scale the page budgets cover (essentially) everything.
+
+    Fresh pipelines on both sides: earlier tests mutate the shared fixture's
+    scene in place."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    mk = lambda **kw: DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32, **kw,
+    )
+    kpipe = mk(use_tex_kernel=True, pallas_interpret=True)
+    assert kpipe.use_tex_kernel and kpipe.env_ids is not None
+    ref = np.asarray(mk().render(camera)).astype(np.float32)
+    got = np.asarray(kpipe.render(camera)).astype(np.float32)
+    rmse = float(np.sqrt(np.mean((ref - got) ** 2))) / 255.0
+    assert rmse < 1.5e-3, rmse
