@@ -170,9 +170,8 @@ void bc1_encode(const uint8_t* rgba, int width, int height, uint8_t* out) {
 }
 
 // ---------------------------------------------------------------------------
-// BC6H UF16 — same mode coverage as resource/bc.py (modes 0x00/0x03/0x07/
-// 0x0B/0x0F fully; remaining two-region modes decode to black, and neither
-// the shipped assets nor our encoder produce them). Encoder: mode 11
+// BC6H UF16 — all 14 modes decoded (same field tables as resource/bc.py,
+// validated bit-exact against Mesa's BPTC decoder). Encoder: mode 11
 // (0x03 bits): 10-bit endpoints, 4-bit indices, single region.
 // ---------------------------------------------------------------------------
 
@@ -222,6 +221,40 @@ const int P2_ANCHOR[32] = {
     15, 2, 8, 2, 2, 8, 8,15, 2, 8, 2, 2, 8, 8, 2, 2,
 };
 
+// BC6H endpoint bit layouts, generated from resource/bc.py::_BC6H_LAYOUTS
+// (validated bit-exact against Mesa's BPTC decoder; op = e<<6 | c<<4 | bit)
+static const uint8_t kF00[] = {0x94, 0xA4, 0xE4, 0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x44, 0xD4, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0xE0, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0xE1, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xE3};
+static const uint8_t kF01[] = {0x95, 0xD4, 0xD5, 0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0xE0, 0xE1, 0xA4, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0xA5, 0xE2, 0x94, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0xE3, 0xE5, 0xE4, 0x40, 0x41, 0x42, 0x43, 0x44, 0x45, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xC5};
+static const uint8_t kF02[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x44, 0x0A, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x1A, 0xE0, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x2A, 0xE1, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xE3};
+static const uint8_t kF03[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69};
+static const uint8_t kF06[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x0A, 0xD4, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0x1A, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x2A, 0xE1, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0xE0, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0x94, 0xE3};
+static const uint8_t kF07[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x0A, 0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x1A, 0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x2A};
+static const uint8_t kF0A[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x0A, 0xA4, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x1A, 0xE0, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0x2A, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0xE1, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0xE4, 0xE3};
+static const uint8_t kF0B[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x44, 0x45, 0x46, 0x47, 0x0B, 0x0A, 0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0x56, 0x57, 0x1B, 0x1A, 0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x2B, 0x2A};
+static const uint8_t kF0E[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0xA4, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x94, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0xE4, 0x40, 0x41, 0x42, 0x43, 0x44, 0xD4, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0xE0, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0xE1, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xE3};
+static const uint8_t kF0F[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x08, 0x09, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18, 0x19, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0x28, 0x29, 0x40, 0x41, 0x42, 0x43, 0x0F, 0x0E, 0x0D, 0x0C, 0x0B, 0x0A, 0x50, 0x51, 0x52, 0x53, 0x1F, 0x1E, 0x1D, 0x1C, 0x1B, 0x1A, 0x60, 0x61, 0x62, 0x63, 0x2F, 0x2E, 0x2D, 0x2C, 0x2B, 0x2A};
+static const uint8_t kF12[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0xD4, 0xA4, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0xE2, 0x94, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0xE3, 0xE4, 0x40, 0x41, 0x42, 0x43, 0x44, 0x45, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0xE0, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0xE1, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xC5};
+static const uint8_t kF16[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0xE0, 0xA4, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x95, 0x94, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0xD5, 0xE4, 0x40, 0x41, 0x42, 0x43, 0x44, 0xD4, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0xE1, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xE3};
+static const uint8_t kF1A[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0xE1, 0xA4, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0xA5, 0x94, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0x26, 0x27, 0xE5, 0xE4, 0x40, 0x41, 0x42, 0x43, 0x44, 0xD4, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0xE0, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0xE2, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xE3};
+static const uint8_t kF1E[] = {0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0xD4, 0xE0, 0xE1, 0xA4, 0x10, 0x11, 0x12, 0x13, 0x14, 0x15, 0x95, 0xA5, 0xE2, 0x94, 0x20, 0x21, 0x22, 0x23, 0x24, 0x25, 0xD5, 0xE3, 0xE5, 0xE4, 0x40, 0x41, 0x42, 0x43, 0x44, 0x45, 0x90, 0x91, 0x92, 0x93, 0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0xD0, 0xD1, 0xD2, 0xD3, 0x60, 0x61, 0x62, 0x63, 0x64, 0x65, 0xA0, 0xA1, 0xA2, 0xA3, 0x80, 0x81, 0x82, 0x83, 0x84, 0x85, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4, 0xC5};
+struct FieldProg { uint8_t mode; const uint8_t* ops; uint8_t n; };
+static const FieldProg kBC6HProgs[] = {
+    {0x00, kF00, 75},
+    {0x01, kF01, 75},
+    {0x02, kF02, 72},
+    {0x03, kF03, 60},
+    {0x06, kF06, 72},
+    {0x07, kF07, 60},
+    {0x0A, kF0A, 72},
+    {0x0B, kF0B, 60},
+    {0x0E, kF0E, 72},
+    {0x0F, kF0F, 60},
+    {0x12, kF12, 72},
+    {0x16, kF16, 72},
+    {0x1A, kF1A, 72},
+    {0x1E, kF1E, 72},
+};
+
 inline int unquantize(int x, int prec) {
     if (prec >= 15) return x;
     if (x == 0) return 0;
@@ -238,56 +271,34 @@ void decode_block(const uint8_t* blk, uint16_t out16[16][3]) {
     if (m >= 2) m = (br.read(3) << 2) | m;
 
     int prec = 0, dr = 0, dg = 0, db = 0, regions = 1;
-    bool transformed = true, supported = true;
+    bool transformed = true;
     switch (m) {
         case 0x00: prec = 10; dr = dg = db = 5; regions = 2; break;
+        case 0x01: prec = 7; dr = dg = db = 6; regions = 2; break;
+        case 0x02: prec = 11; dr = 5; dg = 4; db = 4; regions = 2; break;
+        case 0x06: prec = 11; dr = 4; dg = 5; db = 4; regions = 2; break;
+        case 0x0A: prec = 11; dr = 4; dg = 4; db = 5; regions = 2; break;
+        case 0x0E: prec = 9; dr = dg = db = 5; regions = 2; break;
+        case 0x12: prec = 8; dr = 6; dg = 5; db = 5; regions = 2; break;
+        case 0x16: prec = 8; dr = 5; dg = 6; db = 5; regions = 2; break;
+        case 0x1A: prec = 8; dr = 5; dg = 5; db = 6; regions = 2; break;
+        case 0x1E: prec = 6; dr = dg = db = 6; transformed = false; regions = 2; break;
         case 0x03: prec = 10; dr = dg = db = 10; transformed = false; break;
         case 0x07: prec = 11; dr = dg = db = 9; break;
         case 0x0B: prec = 12; dr = dg = db = 8; break;
         case 0x0F: prec = 16; dr = dg = db = 4; break;
-        default: supported = false; break;
-    }
-    if (!supported) {
-        std::memset(out16, 0, sizeof(uint16_t) * 48);
-        return;
+        default:  // reserved modes decode to black per spec
+            std::memset(out16, 0, sizeof(uint16_t) * 48);
+            return;
     }
 
     int ep[4][3] = {};
-    auto setbit = [&](int e, int c, int bit, int v) { ep[e][c] |= (v & 1) << bit; };
-    auto field = [&](int e, int c, int lo, int hi) {
-        for (int b = lo; b <= hi; ++b) setbit(e, c, b, br.read(1));
-    };
-    auto fieldr = [&](int e, int c, int hi, int lo) {
-        for (int b = hi; b >= lo; --b) setbit(e, c, b, br.read(1));
-    };
-
-    if (m == 0x00) {
-        setbit(3, 1, 4, br.read(1)); setbit(3, 2, 4, br.read(1)); setbit(2, 2, 4, br.read(1));
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9);
-        field(1, 0, 0, 4); setbit(3, 1, 0, br.read(1)); field(2, 1, 4, 4);
-        field(1, 1, 0, 4); setbit(2, 2, 0, br.read(1)); field(2, 1, 0, 3);
-        field(1, 2, 0, 4); setbit(3, 2, 0, br.read(1)); field(2, 2, 1, 3);
-        field(2, 0, 0, 4); setbit(3, 2, 1, br.read(1));
-        field(3, 0, 0, 4); setbit(3, 2, 2, br.read(1));
-        field(3, 1, 1, 3); setbit(3, 2, 3, br.read(1));
-    } else if (m == 0x03) {
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9);
-        field(1, 0, 0, 9); field(1, 1, 0, 9); field(1, 2, 0, 9);
-    } else if (m == 0x07) {
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9);
-        field(1, 0, 0, 8); setbit(0, 0, 10, br.read(1));
-        field(1, 1, 0, 8); setbit(0, 1, 10, br.read(1));
-        field(1, 2, 0, 8); setbit(0, 2, 10, br.read(1));
-    } else if (m == 0x0B) {
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9);
-        field(1, 0, 0, 7); fieldr(0, 0, 11, 10);
-        field(1, 1, 0, 7); fieldr(0, 1, 11, 10);
-        field(1, 2, 0, 7); fieldr(0, 2, 11, 10);
-    } else if (m == 0x0F) {
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9);
-        field(1, 0, 0, 3); fieldr(0, 0, 15, 10);
-        field(1, 1, 0, 3); fieldr(0, 1, 15, 10);
-        field(1, 2, 0, 3); fieldr(0, 2, 15, 10);
+    const FieldProg* prog = nullptr;
+    for (const FieldProg& fp : kBC6HProgs)
+        if (fp.mode == m) { prog = &fp; break; }
+    for (int i = 0; i < prog->n; ++i) {
+        uint8_t op = prog->ops[i];
+        ep[op >> 6][(op >> 4) & 3] |= br.read(1) << (op & 15);
     }
 
     int partition = (regions == 2) ? br.read(5) : 0;

@@ -230,6 +230,59 @@ _BC6H_MODES = {
     0x0F: (16, (4, 4, 4), True, 1),
 }
 
+# Endpoint bit layouts per the D3D11 functional spec ("BC6H Format" table):
+# space-separated fields in STORAGE order; `rw0-9` = bits 0..9 of endpoint w's
+# red channel stored LSB-first, `rw15-10` (descending) = stored MSB-first,
+# `gy4` = the single bit 4. Endpoints w/x = region-0 low/high, y/z = region-1
+# low/high; the partition field d[4:0] follows (2-region modes only).
+_BC6H_LAYOUTS = {
+    0x00: "gy4 by4 bz4 rw0-9 gw0-9 bw0-9 rx0-4 gz4 gy0-3 gx0-4 bz0 gz0-3 "
+          "bx0-4 bz1 by0-3 ry0-4 bz2 rz0-4 bz3",
+    0x01: "gy5 gz4 gz5 rw0-6 bz0 bz1 by4 gw0-6 by5 bz2 gy4 bw0-6 bz3 bz5 "
+          "bz4 rx0-5 gy0-3 gx0-5 gz0-3 bx0-5 by0-3 ry0-5 rz0-5",
+    0x02: "rw0-9 gw0-9 bw0-9 rx0-4 rw10 gy0-3 gx0-3 gw10 bz0 gz0-3 bx0-3 "
+          "bw10 bz1 by0-3 ry0-4 bz2 rz0-4 bz3",
+    0x06: "rw0-9 gw0-9 bw0-9 rx0-3 rw10 gz4 gy0-3 gx0-4 gw10 gz0-3 bx0-3 "
+          "bw10 bz1 by0-3 ry0-3 bz0 bz2 rz0-3 gy4 bz3",
+    0x0A: "rw0-9 gw0-9 bw0-9 rx0-3 rw10 by4 gy0-3 gx0-3 gw10 bz0 gz0-3 "
+          "bx0-4 bw10 by0-3 ry0-3 bz1 bz2 rz0-3 bz4 bz3",
+    0x0E: "rw0-8 by4 gw0-8 gy4 bw0-8 bz4 rx0-4 gz4 gy0-3 gx0-4 bz0 gz0-3 "
+          "bx0-4 bz1 by0-3 ry0-4 bz2 rz0-4 bz3",
+    0x12: "rw0-7 gz4 by4 gw0-7 bz2 gy4 bw0-7 bz3 bz4 rx0-5 gy0-3 gx0-4 bz0 "
+          "gz0-3 bx0-4 bz1 by0-3 ry0-5 rz0-5",
+    0x16: "rw0-7 bz0 by4 gw0-7 gy5 gy4 bw0-7 gz5 bz4 rx0-4 gz4 gy0-3 "
+          "gx0-5 gz0-3 bx0-4 bz1 by0-3 ry0-4 bz2 rz0-4 bz3",
+    0x1A: "rw0-7 bz1 by4 gw0-7 by5 gy4 bw0-7 bz5 bz4 rx0-4 gz4 gy0-3 "
+          "gx0-4 bz0 gz0-3 bx0-5 by0-3 ry0-4 bz2 rz0-4 bz3",
+    0x1E: "rw0-5 gz4 bz0 bz1 by4 gw0-5 gy5 by5 bz2 gy4 bw0-5 gz5 bz3 bz5 "
+          "bz4 rx0-5 gy0-3 gx0-5 gz0-3 bx0-5 by0-3 ry0-5 rz0-5",
+    0x03: "rw0-9 gw0-9 bw0-9 rx0-9 gx0-9 bx0-9",
+    0x07: "rw0-9 gw0-9 bw0-9 rx0-8 rw10 gx0-8 gw10 bx0-8 bw10",
+    0x0B: "rw0-9 gw0-9 bw0-9 rx0-7 rw11-10 gx0-7 gw11-10 bx0-7 bw11-10",
+    0x0F: "rw0-9 gw0-9 bw0-9 rx0-3 rw15-10 gx0-3 gw15-10 bx0-3 bw15-10",
+}
+
+_EP_IDX = {"w": 0, "x": 1, "y": 2, "z": 3}
+_CH_IDX = {"r": 0, "g": 1, "b": 2}
+
+
+def _parse_layout(s: str):
+    """-> list of (e_idx, ch, bit) in storage order."""
+    out = []
+    for tok in s.split():
+        ch, e = _CH_IDX[tok[0]], _EP_IDX[tok[1]]
+        span = tok[2:]
+        if "-" in span:
+            a, b = (int(x) for x in span.split("-"))
+            bits = range(a, b + 1) if a <= b else range(a, b - 1, -1)
+        else:
+            bits = (int(span),)
+        out.extend((e, ch, bit) for bit in bits)
+    return out
+
+
+_BC6H_FIELDS = {m: _parse_layout(s) for m, s in _BC6H_LAYOUTS.items()}
+
 
 def _unquantize_unsigned(x: int, prec: int) -> int:
     if prec >= 15:
@@ -261,54 +314,8 @@ def _decode_bc6h_block(block: np.ndarray) -> np.ndarray:
 
     # Endpoints as bit fields e[region*2 + (0=low,1=high)][channel]
     ep = [[0, 0, 0] for _ in range(4)]
-
-    def setbit(e_idx, ch, bit_idx, value):
-        ep[e_idx][ch] |= (value & 1) << bit_idx
-
-    def field(e_idx, ch, lo, hi_inclusive):
-        for b in range(lo, hi_inclusive + 1):
-            setbit(e_idx, ch, b, br.read(1))
-
-    def fieldr(e_idx, ch, hi, lo):
-        # reversed storage: first stored bit is 'hi'
-        for b in range(hi, lo - 1, -1):
-            setbit(e_idx, ch, b, br.read(1))
-
-    # Each mode has a bespoke layout. Implemented per spec tables.
-    if m == 0x00:
-        setbit(3, 1, 4, br.read(1)); setbit(3, 2, 4, br.read(1)); setbit(2, 2, 4, br.read(1))
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9)
-        field(1, 0, 0, 4); setbit(3, 1, 0, br.read(1)); field(2, 1, 4, 4)
-        field(1, 1, 0, 4); setbit(2, 2, 0, br.read(1)); field(2, 1, 0, 3)
-        field(1, 2, 0, 4); setbit(3, 2, 0, br.read(1)); field(2, 2, 1, 3)
-        field(2, 0, 0, 4); setbit(3, 2, 1, br.read(1))
-        field(3, 0, 0, 4); setbit(3, 2, 2, br.read(1))
-        field(3, 1, 1, 3); setbit(3, 2, 3, br.read(1))
-    elif m in (0x01, 0x02, 0x06, 0x0A, 0x0E, 0x12, 0x16, 0x1A, 0x1E):
-        # Remaining two-region modes have heavily scrambled bit layouts; they
-        # are fully implemented in native/bcodec.cpp. The shipped reference
-        # assets contain no BC6H blobs (the skybox .bin is absent from the
-        # repo) and our own encoder emits mode 11 only, so this Python
-        # fallback handles modes 0/3/7/11/15 and defers the rest.
-        raise _Mode1Fallback()
-    elif m == 0x03:
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9)
-        field(1, 0, 0, 9); field(1, 1, 0, 9); field(1, 2, 0, 9)
-    elif m == 0x07:
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9)
-        field(1, 0, 0, 8); setbit(0, 0, 10, br.read(1))
-        field(1, 1, 0, 8); setbit(0, 1, 10, br.read(1))
-        field(1, 2, 0, 8); setbit(0, 2, 10, br.read(1))
-    elif m == 0x0B:
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9)
-        field(1, 0, 0, 7); fieldr(0, 0, 11, 10)
-        field(1, 1, 0, 7); fieldr(0, 1, 11, 10)
-        field(1, 2, 0, 7); fieldr(0, 2, 11, 10)
-    elif m == 0x0F:
-        field(0, 0, 0, 9); field(0, 1, 0, 9); field(0, 2, 0, 9)
-        field(1, 0, 0, 3); fieldr(0, 0, 15, 10)
-        field(1, 1, 0, 3); fieldr(0, 1, 15, 10)
-        field(1, 2, 0, 3); fieldr(0, 2, 15, 10)
+    for e_idx, ch, bit in _BC6H_FIELDS[m]:
+        ep[e_idx][ch] |= br.read(1) << bit
 
     partition = br.read(5) if regions == 2 else 0
 
@@ -354,12 +361,6 @@ def _decode_bc6h_block(block: np.ndarray) -> np.ndarray:
     return half.reshape(4, 4, 3)
 
 
-class _Mode1Fallback(Exception):
-    """Raised for the rarely-hit two-region modes whose scrambled bit layouts
-    are only implemented in the native codec; python decodes them as mode-0
-    quality via the native library when present, else zeros."""
-
-
 def bc6h_decode_mip(data: bytes | np.ndarray, width: int, height: int) -> np.ndarray:
     """Decode one BC6H UF16 mip -> (height, width, 4) float16 RGBA (A=1)."""
     try:
@@ -374,10 +375,7 @@ def bc6h_decode_mip(data: bytes | np.ndarray, width: int, height: int) -> np.nda
     raw = np.frombuffer(memoryview(data), dtype=np.uint8, count=bw * bh * 16).reshape(-1, 16)
     texels = np.zeros((bh * bw, 4, 4, 3), dtype=np.float32)
     for i in range(raw.shape[0]):
-        try:
-            texels[i] = _decode_bc6h_block(raw[i])
-        except _Mode1Fallback:
-            texels[i] = 0.0
+        texels[i] = _decode_bc6h_block(raw[i])
     img = texels.reshape(bh, bw, 4, 4, 3).transpose(0, 2, 1, 3, 4).reshape(bh * 4, bw * 4, 3)
     img = img[:height, :width]
     rgba = np.concatenate([img, np.ones_like(img[..., :1])], axis=-1)

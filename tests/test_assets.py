@@ -165,3 +165,32 @@ def test_model_cached_identity(asset_loader):
     m1 = asset_loader.load_resource(ModelResource, "Asset/Model/Barrel/Barrel_Model")
     m2 = asset_loader.load_resource(ModelResource, "Asset/Model/Barrel/Barrel_Model")
     assert m1 is m2
+
+
+def test_bc6h_all_modes_against_reference_vectors():
+    """All 14 BC6H modes (plus the 4 reserved modes -> black) against
+    decode vectors produced by Mesa's BPTC decoder (the GL reference
+    implementation of the same D3D11 spec DirectXTex implements).
+    Vectors: tests/data/bc6h_vectors.npz (random blocks, every mode)."""
+    import pathlib
+
+    from direct12pbrrenderer_tpu.resource import bc
+
+    data = np.load(pathlib.Path(__file__).parent / "data" / "bc6h_vectors.npz")
+    blocks, want = data["blocks"], data["texels"]
+    got = np.stack([bc._decode_bc6h_block(b) for b in blocks])
+    np.testing.assert_array_equal(got, want)
+
+    # the ctypes native codec must agree bit-for-bit (blocks laid out as a
+    # (4, 4N) mip)
+    from direct12pbrrenderer_tpu.resource import native_codec
+
+    if native_codec.available():
+        n = len(blocks)
+        dec = native_codec.bc6h_decode_mip(
+            blocks.tobytes(), 4 * n, 4
+        ).astype(np.float32)
+        got_native = np.stack(
+            [dec[:, i * 4 : (i + 1) * 4, :3] for i in range(n)]
+        )
+        np.testing.assert_array_equal(got_native, want)
