@@ -155,6 +155,9 @@ def main(argv=None):
     ap.add_argument("--pitch", type=float, default=0.0)
     ap.add_argument("--bin-cap", type=int, default=1024)
     ap.add_argument("--tile", type=int, nargs=2, default=(60, 160))
+    ap.add_argument("--serve", type=int, default=None, metavar="PORT",
+                    help="run the interactive browser viewer instead of "
+                         "writing frames (WASD + right-drag fly camera)")
     args = ap.parse_args(argv)
 
     app = App(
@@ -174,6 +177,11 @@ def main(argv=None):
             bin_cap=args.bin_cap,
         )
     )
+    if args.serve:
+        from .viewer import serve
+
+        serve(app, port=args.serve)
+        return None
     report = app.run()
     print(json.dumps(report))
     return report
