@@ -83,8 +83,46 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }
+
+    if not args.smoke:
+        # secondary: the north-star Sponza-CLASS density (262k-triangle
+        # terrain, tests/test_scale.py's scene) at the same resolution
+        try:
+            result.update(_stress_bench(args))
+        except Exception as e:  # secondary metric must never kill the bench
+            result["sponza_class_error"] = repr(e)[:200]
+
     print(json.dumps(result))
     return result
+
+
+def _stress_bench(args, frames: int = 4):
+    from direct12pbrrenderer_tpu.config import RenderConfig
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.scene.camera import Camera
+    from direct12pbrrenderer_tpu.tools.stress_scene import build_stress_scene
+
+    scene = build_stress_scene(cells_x=512, cells_y=256)
+    cfg = RenderConfig(width=args.width, height=args.height, max_instances=2)
+    pipe = DeferredRenderPipeline(
+        scene, cfg, tile_h=24, tile_w=128, bin_cap=8192, atlas_max_dim=256,
+    )
+    cam = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+    cam.move([0, 6, 18])
+    cam.rotate(0, np.pi, 0.35)
+    np.asarray(pipe.render(cam))  # compile + stats
+    overflow = pipe.last_stats.bin_overflow if pipe.last_stats else -1
+    t0 = time.perf_counter()
+    img = None
+    for _ in range(frames):
+        img = pipe.render(cam, 1.0 / 60.0, collect_stats=False)
+    np.asarray(img)
+    fps = frames / (time.perf_counter() - t0)
+    return {
+        "sponza_class_fps": round(fps, 3),
+        "sponza_class_triangles": 512 * 256 * 2,
+        "sponza_class_bin_overflow": int(overflow),
+    }
 
 
 if __name__ == "__main__":

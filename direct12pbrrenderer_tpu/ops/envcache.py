@@ -158,25 +158,25 @@ class FloatAtlasBuilder:
 
 # ----------------------------------------------------------------- plan ----
 def fused_table(atlas: FloatAtlas) -> jnp.ndarray:
-    """(T*MAX_MIPS, 4) f32 [base_w, base_h, page_base, fb_page]."""
-    t = atlas.n_mips.shape[0]
+    """(T, 3+MAX_MIPS) f32 per-texture rows
+    [base_w, base_h, fb_page, page_base[0..MAX_MIPS-1]] — one T-wide one-hot
+    read per pixel, mip page base via a MAX_MIPS-way select (texcache)."""
     return jnp.concatenate(
         [
-            jnp.broadcast_to(atlas.base_size[:, None, :], (t, MAX_MIPS, 2)),
-            atlas.page_base[:, :MAX_MIPS, None],
-            jnp.broadcast_to(atlas.fb_page[:, None, None], (t, MAX_MIPS, 1)),
+            atlas.base_size,
+            atlas.fb_page[:, None],
+            atlas.page_base[:, :MAX_MIPS],
         ],
         axis=-1,
-    ).reshape(t * MAX_MIPS, 4).astype(jnp.float32)
+    ).astype(jnp.float32)
 
 
-def _tap_addresses_clamp(row, mip, u, v):
+def _tap_addresses_clamp(base_w, base_h, page_base, mip, u, v):
     """Clamp-addressed page/record/frac for one tap; mirrors
     common._cube_atlas_bilinear / sample_quad_tex2d addressing exactly
     (x0 = clip(floor(x), 0, w-1); fx = clip(x - x0, 0, 1))."""
-    w = jnp.maximum(row[..., 0].astype(jnp.int32) >> mip, 1)
-    h = jnp.maximum(row[..., 1].astype(jnp.int32) >> mip, 1)
-    page_base = row[..., 2].astype(jnp.int32)
+    w = jnp.maximum(base_w >> mip, 1)
+    h = jnp.maximum(base_h >> mip, 1)
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.clip(jnp.floor(x), 0, (w - 1).astype(jnp.float32))
@@ -279,9 +279,12 @@ def sample_env_tiled(
     n_tiles = (height // tile_h) * (width // tile_w)
     assert (cap + CAP_FB) % SEG_CHUNK == 0
 
+    from .texcache import select_mip
+
     table = fused_table(atlas)
-    key = tex * MAX_MIPS + mip
-    row = onehot_lookup(table, key)                    # (H, W, G, 4)
+    row = onehot_lookup(table, tex)                    # (H, W, G, 3+MAX_MIPS)
+    base_w = row[..., 0].astype(jnp.int32)
+    base_h = row[..., 1].astype(jnp.int32)
 
     def tile_g(x):  # (H, W, G) -> (tiles, G, blocks, 128)
         return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
@@ -289,12 +292,14 @@ def sample_env_tiled(
     act_t = tile_g(active)
 
     # guaranteed fallback: the texture's 1x1 average page, record 0
-    fb_page = row[..., 3].astype(jnp.int32)
+    fb_page = row[..., 2].astype(jnp.int32)
     fb_list, _, fb_slot, fb_found = _cover_and_match(
         tile_g(fb_page), act_t, CAP_FB
     )
 
-    page, intra, fx, fy = _tap_addresses_clamp(row, mip, u, v)
+    page, intra, fx, fy = _tap_addresses_clamp(
+        base_w, base_h, select_mip(row[..., 3:], mip), mip, u, v
+    )
     page_list, count, slot, found = _cover_and_match(tile_g(page), act_t, cap)
 
     # shared covers: a trilinear tap is exact only if every half covered

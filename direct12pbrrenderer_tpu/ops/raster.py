@@ -225,6 +225,92 @@ def bin_triangles(
     return Bins(ids, counts)
 
 
+def bin_triangles_hier(
+    setup: TriangleSetup,
+    tiles_y: int,
+    tiles_x: int,
+    tile_h: int,
+    tile_w: int,
+    cap: int,
+    y_offset=0,
+    super_h: int = 8,
+    super_w: int = 4,
+    cap1: int = 16384,
+) -> Bins:
+    """Two-level binning for large triangle pools (Sponza-class scenes).
+
+    The flat path's per-tile `top_k` sorts every tile row over the FULL pool
+    (tiles x T log T); here a coarse pass first compacts each (super_h x
+    super_w)-tile supertile's overlap set to <= cap1 candidates, and the
+    per-tile top_k then runs over cap1 instead of T — ~T/cap1 x less sort
+    volume at 260k+ triangles. Same output contract as bin_triangles (ids in
+    submission order, pre-clamp counts; supertile overflow surfaces as
+    count > cap so callers' bin_overflow stat reports it)."""
+    num_tiles = tiles_y * tiles_x
+    t = setup.aabb.shape[0]
+    cap1 = min(cap1, t)
+    sy = -(-tiles_y // super_h)
+    sx = -(-tiles_x // super_w)
+
+    xmin, ymin, xmax, ymax = (setup.aabb[:, i] for i in range(4))
+    sx0 = (jnp.arange(sx) * (super_w * tile_w)).astype(jnp.float32)
+    sy0 = (jnp.arange(sy) * (super_h * tile_h)).astype(jnp.float32) + y_offset
+    ov_x1 = (xmin[None, :] < (sx0 + super_w * tile_w)[:, None]) & (
+        xmax[None, :] > sx0[:, None]
+    )
+    ov_y1 = (ymin[None, :] < (sy0 + super_h * tile_h)[:, None]) & (
+        ymax[None, :] > sy0[:, None]
+    )
+    ov1 = (ov_y1[:, None, :] & ov_x1[None, :, :] & setup.valid[None, None, :]
+           ).reshape(sy * sx, t)
+    cnt1 = ov1.sum(axis=1).astype(jnp.int32)
+    score1 = jnp.where(ov1, t - jnp.arange(t, dtype=jnp.int32)[None, :], 0)
+    top1, _ = jax.lax.top_k(score1, cap1)
+    cand = jnp.where(top1 > 0, t - top1, 0).astype(jnp.int32)  # (S, cap1) asc ids
+    cand_valid = top1 > 0
+
+    # per-supertile candidate AABBs (contiguous-ish gather, S*cap1 rows)
+    aabb_c = setup.aabb[cand]                                   # (S, cap1, 4)
+
+    # fine pass: every tile tests only its supertile's candidates
+    tx0 = (jnp.arange(tiles_x) * tile_w).astype(jnp.float32)
+    ty0 = (jnp.arange(tiles_y) * tile_h).astype(jnp.float32) + y_offset
+    s_of_tile = (
+        (jnp.arange(tiles_y) // super_h)[:, None] * sx
+        + (jnp.arange(tiles_x) // super_w)[None, :]
+    ).reshape(num_tiles)
+    aabb_t = aabb_c[s_of_tile]                                  # (tiles, cap1, 4)
+    valid_t = cand_valid[s_of_tile]
+    tile_x0 = jnp.tile(tx0, tiles_y)[:, None]                   # (tiles, 1)
+    tile_y0 = jnp.repeat(ty0, tiles_x)[:, None]
+    ov2 = (
+        (aabb_t[..., 0] < tile_x0 + tile_w)
+        & (aabb_t[..., 2] > tile_x0)
+        & (aabb_t[..., 1] < tile_y0 + tile_h)
+        & (aabb_t[..., 3] > tile_y0)
+        & valid_t
+    )                                                           # (tiles, cap1)
+    counts = ov2.sum(axis=1).astype(jnp.int32)
+    # supertile overflow: candidates were truncated, so a tile under this
+    # supertile may be missing triangles — surface as overflow (count > cap)
+    over1 = (cnt1 > cap1)[s_of_tile]
+    counts = jnp.where(over1, jnp.maximum(counts, cap + 1), counts)
+
+    # candidate lists are ascending triangle ids, so selecting ascending
+    # candidate POSITIONS preserves submission order (same trick as the
+    # flat path's id-based score)
+    pos_score = jnp.where(ov2, cap1 - jnp.arange(cap1, dtype=jnp.int32)[None, :], 0)
+    if cap1 < cap:
+        pos_score = jnp.pad(pos_score, ((0, 0), (0, cap - cap1)))
+    top2, _ = jax.lax.top_k(pos_score, cap)
+    pos = jnp.minimum(cap1 - top2, cap1 - 1)
+    cand_t = cand[s_of_tile]                                    # (tiles, cap1)
+    ids = jnp.where(
+        top2 > 0, jnp.take_along_axis(cand_t, pos, axis=1), -1
+    ).astype(jnp.int32)
+    return Bins(ids, counts)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "chunk"),

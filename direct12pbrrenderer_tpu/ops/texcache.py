@@ -11,9 +11,10 @@ the cache explicit and issue (almost) no XLA gathers at all:
 
 1. Every texture mip is stored page-major: 16x8-texel pages of 128 quad
    records (scene_pack.TextureAtlas) — one page = one 2 KB staging unit.
-2. Per-pixel tap addresses (mip dims, page base) come from ONE fused
-   (T*13, 5) table read with one-hot MXU matmuls — 28 ms vs 402 ms as XLA
-   small-table gathers at 1080p (tools/bench_texcache2.py).
+2. Per-pixel tap addresses (mip dims, page bases) come from ONE per-texture
+   (T, 4+13) table read via a one-hot MXU matmul plus cheap 13-way mip
+   selects — vs 402 ms as XLA small-table gathers at 1080p
+   (tools/bench_texcache2.py).
 3. Per 24x128-px screen tile, the XLA side extracts the distinct pages per
    (material slot, trilinear half) — the tile's working set, bounded by the
    LOD-correct texel footprint — plus up to 4 guaranteed last-mip fallback
@@ -94,23 +95,31 @@ def _untile(tiles, height, width, tile_h, tile_w):
 
 
 # ------------------------------------------------ one-hot table lookups ----
-def fused_mip_table(atlas: gbuffer.AtlasDevice) -> jnp.ndarray:
-    """(T*MAX_MIPS, 5) f32 table keyed by tex*MAX_MIPS + mip:
-    [n_mips, base_w, base_h, page_base, last_page_base].
-    All values int-exact in f32."""
-    t = atlas.n_mips.shape[0]
+def fused_tex_table(atlas: gbuffer.AtlasDevice) -> jnp.ndarray:
+    """(T, 4+MAX_MIPS) f32 table keyed by tex:
+    [n_mips, base_w, base_h, fallback_page, page_base[0..MAX_MIPS-1]].
+    All values int-exact in f32. ONE row per texture (not per (tex, mip)):
+    the per-pixel lookup is a T-wide one-hot matmul and the mip's page base
+    is then a cheap MAX_MIPS-way select — ~40x fewer per-pixel compares
+    than a (T*MAX_MIPS)-row table at frame scale."""
     last = jnp.take_along_axis(
         atlas.page_base, (atlas.n_mips - 1)[:, None], axis=1
     )
     return jnp.concatenate(
         [
-            jnp.broadcast_to(atlas.n_mips[:, None, None], (t, MAX_MIPS, 1)),
-            jnp.broadcast_to(atlas.base_size[:, None, :], (t, MAX_MIPS, 2)),
-            atlas.page_base[:, :MAX_MIPS, None],
-            jnp.broadcast_to(last[:, :, None], (t, MAX_MIPS, 1)),
+            atlas.n_mips[:, None],
+            atlas.base_size,
+            last,
+            atlas.page_base[:, :MAX_MIPS],
         ],
         axis=-1,
-    ).reshape(t * MAX_MIPS, 5).astype(jnp.float32)
+    ).astype(jnp.float32)
+
+
+def select_mip(pb, mip):
+    """pb (..., MAX_MIPS) f32 page bases, mip (...,) int32 -> (...,) int32."""
+    oh = mip[..., None] == jnp.arange(MAX_MIPS, dtype=jnp.int32)
+    return jnp.where(oh, pb, 0.0).sum(-1).astype(jnp.int32)
 
 
 def onehot_lookup(table, key):
@@ -130,13 +139,11 @@ def onehot_lookup(table, key):
 
 
 # ----------------------------------------------------------------- plan ----
-def _tap_addresses(row, mip, u, v):
+def _tap_addresses(base_w, base_h, page_base, mip, u, v):
     """Per-pixel page id + intra-page record index + bilinear fracs for one
-    mip tap, from the fused-table row at that mip. Mirrors
-    gbuffer._sample_mip_bilinear's addressing exactly."""
-    w = jnp.maximum(row[..., 1].astype(jnp.int32) >> mip, 1)
-    h = jnp.maximum(row[..., 2].astype(jnp.int32) >> mip, 1)
-    page_base = row[..., 3].astype(jnp.int32)
+    mip tap. Mirrors gbuffer._sample_mip_bilinear's addressing exactly."""
+    w = jnp.maximum(base_w >> mip, 1)
+    h = jnp.maximum(base_h >> mip, 1)
     x = u * w - 0.5
     y = v * h - 0.5
     x0f = jnp.floor(x)
@@ -299,9 +306,12 @@ def sample_atlas_tiled(
 
     u5 = jnp.broadcast_to(u[..., None], tex.shape)
     v5 = jnp.broadcast_to(v[..., None], tex.shape)
-    table = fused_mip_table(atlas)
-    row0 = onehot_lookup(table, tex * MAX_MIPS)
+    table = fused_tex_table(atlas)
+    row0 = onehot_lookup(table, tex)            # (H, W, 5, 4+MAX_MIPS)
     n_mips_t = row0[..., 0].astype(jnp.int32)
+    base_w = row0[..., 1].astype(jnp.int32)
+    base_h = row0[..., 2].astype(jnp.int32)
+    pb = row0[..., 4:]
     lod = jnp.clip(lod, 0.0, (n_mips_t - 1).astype(jnp.float32))
     if trilinear:
         m_lo = jnp.floor(lod).astype(jnp.int32)
@@ -319,7 +329,7 @@ def sample_atlas_tiled(
 
     # guaranteed fallback tap: the coarsest mip (1x1 — the texture's average
     # color). Addressing at w == h == 1 needs no further table data.
-    fb_page = row0[..., 4].astype(jnp.int32)
+    fb_page = row0[..., 3].astype(jnp.int32)
     fb_fx = (u5 - 0.5) - jnp.floor(u5 - 0.5)
     fb_fy = (v5 - 0.5) - jnp.floor(v5 - 0.5)
     fb_list, _, fb_slot, fb_found = _cover_and_match(
@@ -331,8 +341,9 @@ def sample_atlas_tiled(
     # so the chunked sweep bound is simply CAP_FB + count
     halves = []
     for m, cap in zip(mips, (cap_lo, cap_hi)):
-        row = onehot_lookup(table, tex * MAX_MIPS + m)
-        page, intra, fx, fy = _tap_addresses(row, m, u5, v5)
+        page, intra, fx, fy = _tap_addresses(
+            base_w, base_h, select_mip(pb, m), m, u5, v5
+        )
         page_list, count, slot, found = _cover_and_match(
             tile_g(page), act_t, cap
         )

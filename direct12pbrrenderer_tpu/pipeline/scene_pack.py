@@ -18,7 +18,7 @@ uploaded arrays (matrices + visibility mask), never shapes.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import numpy as np
 
@@ -326,11 +326,13 @@ def pack_scene(
     tinst = cat(tri_inst, (0,), np.int32)
 
     v, t = pos.shape[0], tri.shape[0]
-    if v > config.max_vertices or t > config.max_triangles:
-        raise ValueError(
-            f"scene exceeds static limits: {v} verts / {t} tris vs "
-            f"{config.max_vertices} / {config.max_triangles}"
-        )
+    # the configured limits are pool MINIMUMS; bigger scenes (Sponza-class,
+    # 260k+ triangles) auto-grow the static pools to the next 8k multiple —
+    # a per-scene compile-time constant, exactly like sizing a vertex heap
+    if v > config.max_vertices:
+        config = replace(config, max_vertices=-(-v // 8192) * 8192)
+    if t > config.max_triangles:
+        config = replace(config, max_triangles=-(-t // 8192) * 8192)
 
     def pad(a, n, fill=0):
         out = np.full((n, *a.shape[1:]), fill, a.dtype)

@@ -46,9 +46,17 @@ def geometry(buffers, model_mats, normal_mats, instance_visible, view_proj,
 
 def binning(setup, width: int, band_h: int, tile_h: int, tile_w: int,
             bin_cap: int, y_offset=0):
+    tiles_y, tiles_x = band_h // tile_h, width // tile_w
+    t = setup.aabb.shape[0]
+    # large pools: two-level binning cuts the per-tile top_k sort volume by
+    # ~T/cap1 (Sponza-class scenes would otherwise spend 100s of ms here)
+    if t >= 16384 and tiles_y * tiles_x >= 64:
+        return raster.bin_triangles_hier(
+            setup, tiles_y, tiles_x, tile_h, tile_w, bin_cap,
+            y_offset=y_offset, cap1=min(t, 8 * bin_cap),
+        )
     return raster.bin_triangles(
-        setup, band_h // tile_h, width // tile_w, tile_h, tile_w, bin_cap,
-        y_offset=y_offset,
+        setup, tiles_y, tiles_x, tile_h, tile_w, bin_cap, y_offset=y_offset,
     )
 
 

@@ -200,3 +200,38 @@ def test_fully_behind_camera_dropped():
         jnp.asarray(v), jnp.asarray([[0, 1, 2]], jnp.int32), jnp.ones(1, bool), 32, 32
     )
     assert not bool(setup.valid[0])
+
+
+def test_hierarchical_binning_matches_flat():
+    """bin_triangles_hier must produce the same bins as the flat path when
+    nothing overflows (same ids, same order, same counts)."""
+    rng = np.random.default_rng(23)
+    t = 600
+    # random small triangles in a 256x192 screen
+    base = rng.random((t, 2)) * [256, 192]
+    offs = rng.random((t, 3, 2)) * 40 - 20
+    xy = jnp.asarray((base[:, None, :] + offs).astype(np.float32))
+    z = jnp.ones((t, 3), jnp.float32) * 0.5
+    w = jnp.ones((t, 3), jnp.float32)
+    edges = jnp.zeros((t, 3, 3), jnp.float32)
+    xmin = xy[..., 0].min(1); xmax = xy[..., 0].max(1)
+    ymin = xy[..., 1].min(1); ymax = xy[..., 1].max(1)
+    aabb = jnp.stack([jnp.clip(jnp.floor(xmin), 0, 256),
+                      jnp.clip(jnp.floor(ymin), 0, 192),
+                      jnp.clip(jnp.ceil(xmax), 0, 256),
+                      jnp.clip(jnp.ceil(ymax), 0, 192)], -1)
+    valid = jnp.asarray(rng.random(t) > 0.1)
+    valid = valid & (aabb[:, 2] > aabb[:, 0]) & (aabb[:, 3] > aabb[:, 1])
+    setup = raster.TriangleSetup(xy, z, w, edges, aabb, valid)
+
+    ty, tx, th, tw, cap = 8, 2, 24, 128, 256
+    flat = raster.bin_triangles(setup, ty, tx, th, tw, cap)
+    hier = raster.bin_triangles_hier(setup, ty, tx, th, tw, cap,
+                                     super_h=3, super_w=2, cap1=512)
+    np.testing.assert_array_equal(np.asarray(flat.counts), np.asarray(hier.counts))
+    np.testing.assert_array_equal(np.asarray(flat.ids), np.asarray(hier.ids))
+
+    # supertile overflow surfaces as count > cap
+    tiny = raster.bin_triangles_hier(setup, ty, tx, th, tw, cap,
+                                     super_h=3, super_w=2, cap1=64)
+    assert (np.asarray(tiny.counts) > cap).any()
