@@ -250,7 +250,8 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
 # ----------------------------------------------------------------- api -----
 @functools.partial(
     jax.jit,
-    static_argnames=("share", "tile_h", "tile_w", "cap", "interpret"),
+    static_argnames=("share", "tile_h", "tile_w", "cap", "block_cap",
+                     "interpret"),
 )
 def sample_env_tiled(
     atlas: FloatAtlas,
@@ -263,6 +264,7 @@ def sample_env_tiled(
     tile_h: int = 24,
     tile_w: int = 128,
     cap: int = 28,
+    block_cap: int | None = 8,
     interpret: bool = False,
 ):
     """Batched clamp-quad sampling of G tap groups through per-tile page
@@ -300,7 +302,9 @@ def sample_env_tiled(
     page, intra, fx, fy = _tap_addresses_clamp(
         base_w, base_h, select_mip(row[..., 3:], mip), mip, u, v
     )
-    page_list, count, slot, found = _cover_and_match(tile_g(page), act_t, cap)
+    page_list, count, slot, found = _cover_and_match(
+        tile_g(page), act_t, cap, block_cap=block_cap
+    )
 
     # shared covers: a trilinear tap is exact only if every half covered
     covered_t = found

@@ -158,13 +158,24 @@ def _tap_addresses(base_w, base_h, page_base, mip, u, v):
     return page, intra, fx, fy
 
 
-def _cover_and_match(pages, act, cap):
+def _cover_and_match(pages, act, cap, block_cap: int | None = None):
     """pages/act: (tiles, g, blocks, 128). Extract up to `cap` distinct page
     ids per (tile, group) and match every pixel against them.
 
     Returns (page_list (tiles, g, cap) int32 [0-padded],
              count (tiles, g) int32,
-             rec slot index, found — both shaped like `pages`)."""
+             rec slot index, found — both shaped like `pages`).
+
+    With `block_cap` set, runs TWO-LEVEL: first up to block_cap distinct
+    pages per 128-lane block (a screen row of the tile — coherent frames
+    need ~8-12), then the tile-level scan over blocks*block_cap candidates
+    instead of all pixels (~128/block_cap x less scan work — the cover scan
+    is otherwise the texture cache's biggest planning cost). Pixels whose
+    block exceeded block_cap distinct pages lose coverage (-> fallback,
+    counted in `approx` by the caller) — real frames are row-coherent, so
+    this bounds only adversarial content."""
+    if block_cap is not None:
+        return _cover_and_match_2level(pages, act, cap, block_cap)
     shape = pages.shape
     pages = pages.reshape(shape[0], shape[1], -1)
     vals0 = jnp.where(act.reshape(pages.shape), pages, SENTINEL)
@@ -193,6 +204,66 @@ def _cover_and_match(pages, act, cap):
     page_list = jnp.moveaxis(page_list, 0, -1)
     count = jnp.moveaxis(live, 0, -1).sum(-1).astype(jnp.int32)
     return page_list, count, slot.reshape(shape), found.reshape(shape) & act
+
+
+def _cover_and_match_2level(pages, act, cap, block_cap):
+    """Two-level distinct-page extraction (see _cover_and_match)."""
+    tiles, g, blocks, _ = pages.shape
+    valsA = jnp.where(act, pages, SENTINEL)
+
+    def stepA(carry, k):
+        vals, slot, found = carry
+        m = vals.min(axis=-1)                          # (tiles, g, blocks)
+        hit = pages == m[..., None]
+        live = (m != SENTINEL)[..., None]
+        slot = jnp.where(hit & live, k, slot)
+        found = found | (hit & live)
+        vals = jnp.where(hit, SENTINEL, vals)
+        return (vals, slot, found), m
+
+    initA = (valsA, jnp.zeros(pages.shape, jnp.int32),
+             jnp.zeros(pages.shape, bool))
+    (_, slotA, foundA), candA = jax.lax.scan(
+        stepA, initA, jnp.arange(block_cap, dtype=jnp.int32)
+    )
+    candA = jnp.moveaxis(candA, 0, -1)                 # (tiles, g, blocks, B)
+
+    # tile-level scan over block candidates only (the flat algorithm on a
+    # blocks*B-element set instead of all pixels)
+    cand = candA.reshape(tiles, g, blocks * block_cap)
+
+    def stepB(carry, k):
+        vals, slot, found = carry
+        m = vals.min(axis=-1)                          # (tiles, g)
+        hit = cand == m[..., None]
+        live = (m != SENTINEL)[..., None]
+        slot = jnp.where(hit & live, k, slot)
+        found = found | (hit & live)
+        vals = jnp.where(hit, SENTINEL, vals)
+        return (vals, slot, found), (
+            jnp.where(m == SENTINEL, 0, m), m != SENTINEL
+        )
+
+    initB = (cand, jnp.zeros(cand.shape, jnp.int32),
+             jnp.zeros(cand.shape, bool))
+    (_, slotB, foundB), scannedB = jax.lax.scan(
+        stepB, initB, jnp.arange(cap, dtype=jnp.int32)
+    )
+    page_list, live = scannedB
+    page_list = jnp.moveaxis(page_list, 0, -1)
+    count = jnp.moveaxis(live, 0, -1).sum(-1).astype(jnp.int32)
+    slotB = slotB.reshape(tiles, g, blocks, block_cap)
+    foundB = foundB.reshape(tiles, g, blocks, block_cap)
+
+    # per-pixel result: select its block candidate's tile slot/coverage
+    # (B-way select, no large intermediates)
+    pix_slot = jnp.zeros(pages.shape, jnp.int32)
+    pix_cov = jnp.zeros(pages.shape, bool)
+    for b in range(block_cap):
+        m = slotA == b
+        pix_slot = jnp.where(m, slotB[..., b, None], pix_slot)
+        pix_cov = pix_cov | (m & foundB[..., b, None])
+    return page_list, count, pix_slot, pix_cov & foundA & act
 
 
 # --------------------------------------------------------------- kernel ----
@@ -270,7 +341,7 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("filter", "tile_h", "tile_w", "cap_lo", "cap_hi",
-                     "interpret"),
+                     "block_cap", "interpret"),
 )
 def sample_atlas_tiled(
     atlas: gbuffer.AtlasDevice,
@@ -284,6 +355,7 @@ def sample_atlas_tiled(
     tile_w: int = 128,
     cap_lo: int = 92,
     cap_hi: int = 44,
+    block_cap: int | None = 12,
     interpret: bool = False,
 ):
     """Kernel-path sampling. Returns (rgba (H, W, 5, 4) storage-space,
@@ -345,7 +417,7 @@ def sample_atlas_tiled(
             base_w, base_h, select_mip(pb, m), m, u5, v5
         )
         page_list, count, slot, found = _cover_and_match(
-            tile_g(page), act_t, cap
+            tile_g(page), act_t, cap, block_cap=block_cap
         )
         halves.append(
             (page_list, count, slot, tile_g(intra), tile_g(fx), tile_g(fy),
@@ -441,6 +513,7 @@ def sample_atlas_textured(
     atlas: gbuffer.AtlasDevice,
     tex, u, v, lod, active,
     filter: str = "trilinear",
+    block_cap: int | None = 12,
     interpret: bool = False,
 ):
     """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
@@ -456,7 +529,8 @@ def sample_atlas_textured(
         return rgba, jnp.zeros(tex.shape, bool)
     rgba, covered, approx = sample_atlas_tiled(
         atlas, tex, u, v, lod, active,
-        filter=filter, tile_h=tile[0], tile_w=tile[1], interpret=interpret,
+        filter=filter, tile_h=tile[0], tile_w=tile[1], block_cap=block_cap,
+        interpret=interpret,
     )
     # sRGB flag via a tiny one-hot matmul (no per-pixel gather)
     srgb = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex)

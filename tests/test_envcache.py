@@ -83,7 +83,7 @@ def test_env_tiled_matches_xla_samplers():
     # cap sized so everything fits -> full cover expected
     rgba, covered, approx = envcache.sample_env_tiled(
         atlas, tex, mip, u, v, active, share=((0, 1),), cap=36,
-        interpret=True,
+        block_cap=None, interpret=True,
     )
     cov = np.asarray(covered)
     act = np.asarray(active)

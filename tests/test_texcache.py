@@ -72,7 +72,7 @@ def test_tiled_matches_raw_sampler(filter):
     # tile-coherent); caps sized so every distinct page fits -> full cover
     rgba, covered, approx = texcache.sample_atlas_tiled(
         atlas, tex, u, v, lod, active, filter=filter, interpret=True,
-        cap_lo=156, cap_hi=52,
+        cap_lo=156, cap_hi=52, block_cap=None,
     )
     ref = gbuffer.sample_atlas_raw(
         atlas, tex, u[..., None], v[..., None], lod, filter=filter
@@ -129,7 +129,7 @@ def test_wrap_seam_and_mip_clamp():
     lod = jnp.asarray(rng.random((h, w, 5), np.float32) * 12.0)
     active = jnp.ones((h, w, 5), bool)
     out, _ = texcache.sample_atlas_textured(
-        atlas, tex, u, v, lod, active, interpret=True
+        atlas, tex, u, v, lod, active, block_cap=None, interpret=True
     )
     ref = gbuffer.sample_atlas_trilinear(
         atlas, tex, u[..., None], v[..., None], lod
@@ -157,3 +157,25 @@ def test_page_major_layout_addressing():
                                       jnp.int32(x0), jnp.int32(y0))
         )
         np.testing.assert_array_equal(paged[idx], quads[y0, x0])
+
+
+def test_two_level_cover_on_coherent_content():
+    """The production block_cap path: row-coherent uv (what real frames
+    produce) must reach full coverage and bit-exactness through the
+    two-level cover."""
+    rng = np.random.default_rng(21)
+    atlas = _build_atlas(rng, [(128, 64, False), (64, 64, True)])
+    h, w = 24, 128
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    u = jnp.asarray(0.1 + xx / w * 1.2)          # smooth ramps, wrap at edge
+    v = jnp.asarray(0.2 + yy / h * 0.9)
+    tex = jnp.asarray((xx > 64).astype(np.int32))[..., None] * jnp.ones(
+        (1, 1, 5), jnp.int32)
+    lod = jnp.asarray(np.broadcast_to(yy[..., None] / h * 3.0, (h, w, 5)).copy())
+    active = jnp.ones((h, w, 5), bool)
+    rgba, covered, approx = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, block_cap=12, interpret=True,
+    )
+    assert np.asarray(covered).all() and not np.asarray(approx).any()
+    ref = gbuffer.sample_atlas_raw(atlas, tex, u[..., None], v[..., None], lod)
+    np.testing.assert_allclose(np.asarray(rgba), np.asarray(ref), atol=1e-6)
