@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--asset-root", default="/root/reference/DeferredRendering")
     ap.add_argument("--texture-filter", default="trilinear",
-                    choices=["trilinear", "bilinear"])
+                    choices=["trilinear", "bilinear", "anisotropic"])
     ap.add_argument(
         "--smoke", action="store_true",
         help="tiny synthetic scene + small frame (CI / CPU smoke run)",

@@ -130,6 +130,42 @@ def apply_srgb(atlas: AtlasDevice, tex_id, c):
     return jnp.concatenate([rgb, c[..., 3:]], -1)
 
 
+def sample_atlas_anisotropic(atlas: AtlasDevice, tex, uv, ddx, ddy, size5,
+                             mask, n_taps: int = 4):
+    """Software anisotropic filtering (sRGB-linearized where flagged).
+
+    The reference binds an anisotropic static sampler
+    (D3D12CommandList.cpp:295-302); this is the EWA-style software
+    approximation: `n_taps` trilinear taps spread along the major-gradient
+    axis, mip chosen from the footprint's MINOR axis sharpened by the aniso
+    ratio — sharp along the stretched direction, antialiased across it.
+    Quality knob on the XLA sampler path (cost is linear in n_taps).
+
+    tex (H, W, 5); uv (H, W, 2); ddx/ddy (H, W, 2) screen-space uv
+    derivatives; size5 (H, W, 5, 2) texture dims; mask (H, W) coverage.
+    """
+    gx = ddx[..., None, :] * size5
+    gy = ddy[..., None, :] * size5
+    rx2 = (gx * gx).sum(-1)
+    ry2 = (gy * gy).sum(-1)
+    rho2 = jnp.maximum(rx2, ry2)
+    rho_min2 = jnp.maximum(jnp.minimum(rx2, ry2), 1e-12)
+    ratio = jnp.clip(jnp.sqrt(rho2 / rho_min2), 1.0, float(n_taps))
+    lod_a = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12)) - jnp.log2(ratio)
+    lod_a = jnp.where(mask[..., None], lod_a, 99.0)
+    major = jnp.where((rx2 >= ry2)[..., None],
+                      ddx[..., None, :], ddy[..., None, :])   # (H, W, 5, 2)
+    acc = 0.0
+    for i in range(n_taps):
+        t = (i + 0.5) / n_taps - 0.5
+        uv_i = uv[..., None, :] + major * t
+        acc = acc + sample_atlas_trilinear(
+            atlas, tex, uv_i[..., 0], uv_i[..., 1], lod_a,
+            filter="trilinear",
+        )
+    return acc * (1.0 / n_taps)
+
+
 def sample_atlas_trilinear(atlas: AtlasDevice, tex_id, u, v, lod,
                            filter: str = "trilinear"):
     """LinearWrap mip filtering, sRGB-linearized when flagged.
@@ -254,11 +290,17 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
         size5 = atlas.base_size[tex].astype(jnp.float32)     # (H, W, 5, 2)
     gx = ddx[..., None, :] * size5
     gy = ddy[..., None, :] * size5
-    rho2 = jnp.maximum((gx * gx).sum(-1), (gy * gy).sum(-1))  # (H, W, 5)
+    rx2 = (gx * gx).sum(-1)
+    ry2 = (gy * gy).sum(-1)
+    rho2 = jnp.maximum(rx2, ry2)                              # (H, W, 5)
     lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
     lod5 = jnp.where(mask[..., None], lod5, 99.0)  # background -> last mip
 
-    if use_tex_kernel:
+    if texture_filter == "anisotropic":
+        samples = sample_atlas_anisotropic(
+            atlas, tex, uv, ddx, ddy, size5, mask
+        )                                                     # (H, W, 5, 4)
+    elif use_tex_kernel:
         samples, _approx = texcache.sample_atlas_textured(
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],

@@ -179,3 +179,69 @@ def test_two_level_cover_on_coherent_content():
     assert np.asarray(covered).all() and not np.asarray(approx).any()
     ref = gbuffer.sample_atlas_raw(atlas, tex, u[..., None], v[..., None], lod)
     np.testing.assert_allclose(np.asarray(rgba), np.asarray(ref), atol=1e-6)
+
+
+def test_anisotropic_beats_trilinear_at_grazing():
+    """Software aniso (4 taps along the major axis, sharpened mip) must track
+    a supersampled ground truth more closely than trilinear on a strongly
+    anisotropic footprint (the floor-at-grazing-angle case)."""
+
+    class _Checker:
+        format = ETextureFormat.R8G8B8A8_UNORM
+
+        def __init__(self, size=64):
+            yy, xx = np.mgrid[0:size, 0:size]
+            img = ((xx // 8 ^ yy // 8) & 1) * 255
+            m = np.stack([img] * 3 + [np.full_like(img, 255)], -1).astype(np.uint8)
+            self.mips = [m]
+            while m.shape[0] > 1:
+                m = m.reshape(m.shape[0] // 2, 2, m.shape[1] // 2, 2, 4).mean(
+                    (1, 3)).astype(np.uint8)
+                self.mips.append(m)
+            self.mip_levels = len(self.mips)
+
+        def mip_array_rgba(self, mip):
+            return self.mips[mip]
+
+    builder = scene_pack._AtlasBuilder()
+    builder.add(_Checker())
+    a = builder.build()
+    atlas = gbuffer.AtlasDevice(
+        jnp.asarray(a.data), jnp.asarray(a.page_base),
+        jnp.asarray(a.base_size), jnp.asarray(a.n_mips), jnp.asarray(a.srgb))
+
+    h, w = 8, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # 1 texel/px along u, 16 texels/px along v: ratio 16 (grazing floor)
+    uv = np.stack([(xx + 0.5) / 64.0, (yy + 0.5) * 16.0 / 64.0], -1)
+    ddx = np.broadcast_to(np.array([1 / 64.0, 0.0], np.float32), (h, w, 2))
+    ddy = np.broadcast_to(np.array([0.0, 16 / 64.0], np.float32), (h, w, 2))
+    tex = jnp.zeros((h, w, 5), jnp.int32)
+    size5 = jnp.broadcast_to(
+        atlas.base_size[0].astype(jnp.float32), (h, w, 5, 2))
+    mask = jnp.ones((h, w), bool)
+    uvj = jnp.asarray(uv)
+
+    aniso = np.asarray(gbuffer.sample_atlas_anisotropic(
+        atlas, tex, uvj, jnp.asarray(ddx), jnp.asarray(ddy), size5, mask
+    ))[..., 0, :3]
+
+    lod_tri = jnp.full((h, w, 5), np.log2(16.0), jnp.float32)
+    tri = np.asarray(gbuffer.sample_atlas_raw(
+        atlas, tex, uvj[..., 0:1], uvj[..., 1:2], lod_tri))[..., 0, :3]
+
+    # ground truth: 33-point supersample of the mip-0 bilinear along the
+    # footprint's long axis
+    acc = 0.0
+    for i in range(33):
+        t = i / 32.0 - 0.5
+        acc += np.asarray(gbuffer.sample_atlas_raw(
+            atlas, tex,
+            jnp.asarray(uv[..., 0:1]),
+            jnp.asarray(uv[..., 1:2] + t * 16.0 / 64.0),
+            jnp.zeros((h, w, 5), jnp.float32)))
+    truth = (acc / 33.0)[..., 0, :3]
+
+    err_aniso = float(np.sqrt(np.mean((aniso - truth) ** 2)))
+    err_tri = float(np.sqrt(np.mean((tri - truth) ** 2)))
+    assert err_aniso < err_tri * 0.6, (err_aniso, err_tri)
