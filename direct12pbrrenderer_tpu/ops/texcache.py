@@ -355,7 +355,7 @@ def sample_atlas_tiled(
     tile_w: int = 128,
     cap_lo: int = 92,
     cap_hi: int = 44,
-    block_cap: int | None = 12,
+    block_cap: int | None = 16,
     interpret: bool = False,
 ):
     """Kernel-path sampling. Returns (rgba (H, W, 5, 4) storage-space,
@@ -513,7 +513,7 @@ def sample_atlas_textured(
     atlas: gbuffer.AtlasDevice,
     tex, u, v, lod, active,
     filter: str = "trilinear",
-    block_cap: int | None = 12,
+    block_cap: int | None = 16,
     interpret: bool = False,
 ):
     """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
