@@ -29,6 +29,15 @@ from . import common
 
 def luminance_histogram(hdr_rgb) -> jnp.ndarray:
     """(H, W, 3) -> (256,) uint32 counts."""
+    bins = luminance_bins(hdr_rgb)
+    return (
+        jnp.zeros(NUM_HISTOGRAM_BINS, jnp.int32).at[bins.ravel()].add(1)
+    )
+
+
+def luminance_bins(hdr_rgb) -> jnp.ndarray:
+    """(H, W, 3) -> (H, W) int32 histogram bin indices (the per-pixel part
+    of hdr_luminance_histogram.hlsl, before the InterlockedAdd)."""
     lum = common.luminance(hdr_rgb)
     log_l = jnp.clip(
         (jnp.log2(jnp.maximum(lum, 1e-30)) - MIN_LOG_LUMINANCE) * INV_LOG_LUMINANCE_RANGE,
@@ -36,10 +45,23 @@ def luminance_histogram(hdr_rgb) -> jnp.ndarray:
         1.0,
     )
     bins = jnp.floor(log_l * (NUM_HISTOGRAM_BINS - 2) + 1.0).astype(jnp.int32)
-    bins = jnp.where(lum < common.EPSILON, 0, bins)
-    return (
-        jnp.zeros(NUM_HISTOGRAM_BINS, jnp.int32).at[bins.ravel()].add(1)
-    )
+    return jnp.where(lum < common.EPSILON, 0, bins)
+
+
+def average_luminance_direct(hdr_rgb, pixel_count, prev_luminance, delta_time):
+    """average_luminance without materializing the histogram: the average
+    only needs sum(bin indices) and the black-pixel count, both plain
+    reductions — the 256-bin scatter-add (a sort on TPU) stays out of the
+    frame program. Same value as average_luminance(luminance_histogram(x))
+    up to f32 summation order."""
+    bins = luminance_bins(hdr_rgb)
+    weighted = bins.astype(jnp.float32).sum()
+    black = (bins == 0).sum().astype(jnp.float32)
+    avg_bin = weighted / jnp.maximum(pixel_count - black, 1.0)
+    log_l = (avg_bin - 1.0) / (NUM_HISTOGRAM_BINS - 2)
+    lum = jnp.exp2(log_l * LOG_LUMINANCE_RANGE + MIN_LOG_LUMINANCE)
+    t = jnp.clip(1.0 - jnp.exp(-delta_time * EXPOSURE_SMOOTH_TIME), 0.0, 1.0)
+    return prev_luminance + (lum - prev_luminance) * t
 
 
 def average_luminance(histogram, pixel_count, prev_luminance, delta_time):

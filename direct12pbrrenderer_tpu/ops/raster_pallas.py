@@ -40,6 +40,18 @@ from . import raster
 CHUNK = 128  # lane width: dynamic lane offsets must be 128-aligned for Mosaic
 
 
+def split_caps(cap: int, num_tiles: int) -> tuple[int, int]:
+    """(cap_small, hot_k) for the two-pass raster: every tile renders its
+    first cap_small list entries; the hot_k fullest tiles re-render at full
+    cap. Tiles beyond hot_k whose count exceeds cap_small are overflow
+    (surfaced through the pipeline's bin_overflow stat)."""
+    if cap <= 2 * CHUNK:
+        return cap, 0
+    cap_small = max(CHUNK, (cap // 8) // CHUNK * CHUNK)
+    hot_k = min(num_tiles, max(64, num_tiles // 8))
+    return cap_small, hot_k
+
+
 def pack_raster_rows(setup: raster.TriangleSetup) -> jnp.ndarray:
     """(T, 16) kernel rows from triangle setup (see module docstring)."""
     t = setup.edges.shape[0]
@@ -54,7 +66,24 @@ def pack_raster_rows(setup: raster.TriangleSetup) -> jnp.ndarray:
 
 def _kernel(counts_ref, yoff_ref, rows_ref, z_out, id_out, *,
             tile_h, tile_w, tiles_x, cap):
-    tile = pl.program_id(0)
+    _kernel_body(pl.program_id(0), counts_ref[pl.program_id(0)], yoff_ref,
+                 rows_ref, z_out, id_out, tile_h=tile_h, tile_w=tile_w,
+                 tiles_x=tiles_x, cap=cap)
+
+
+def _kernel_remap(counts_ref, yoff_ref, ids_ref, rows_ref, z_in, id_in,
+                  z_out, id_out, *, tile_h, tile_w, tiles_x, cap):
+    """Hot-tile pass: grid step i renders REAL tile ids_ref[i]; z/id buffers
+    are aliased in/out so untouched tiles keep the small-cap pass results."""
+    i = pl.program_id(0)
+    del z_in, id_in  # aliased storage; whole block overwritten below
+    _kernel_body(ids_ref[i], counts_ref[i], yoff_ref, rows_ref, z_out,
+                 id_out, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+                 cap=cap)
+
+
+def _kernel_body(tile, count_in, yoff_ref, rows_ref, z_out, id_out, *,
+                 tile_h, tile_w, tiles_x, cap):
     p = tile_h * tile_w
 
     ox = ((tile % tiles_x) * tile_w).astype(jnp.float32)
@@ -64,7 +93,7 @@ def _kernel(counts_ref, yoff_ref, rows_ref, z_out, id_out, *,
     px = (lin % tile_w).astype(jnp.float32) + 0.5 + ox
     py = (lin // tile_w).astype(jnp.float32) + 0.5 + oy
 
-    count = jnp.minimum(counts_ref[tile], cap)
+    count = jnp.minimum(count_in, cap)
     n_chunks = (count + CHUNK - 1) // CHUNK
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
@@ -107,7 +136,8 @@ def _kernel(counts_ref, yoff_ref, rows_ref, z_out, id_out, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_h", "tile_w", "interpret"),
+    static_argnames=("width", "height", "tile_h", "tile_w", "interpret",
+                     "cap_small", "hot_k"),
 )
 def rasterize_pallas(
     setup: raster.TriangleSetup,
@@ -118,39 +148,53 @@ def rasterize_pallas(
     tile_w: int,
     y_offset=0,
     interpret: bool = False,
+    cap_small: int | None = None,
+    hot_k: int | None = None,
 ):
-    """Drop-in replacement for raster.rasterize (same outputs)."""
+    """Drop-in replacement for raster.rasterize (same outputs).
+
+    Two passes: tiles are mostly near-empty (reference scene @1080p: 22k
+    live bin entries vs 675 x 2048 = 1.38M padded slots, p90 count 92), and
+    the pre-gather pays per SLOT. Pass 1 renders every tile from its first
+    `cap_small` list entries; pass 2 re-renders the `hot_k` fullest tiles
+    from their full lists, scatter-written over the pass-1 buffers via a
+    scalar-prefetched tile-id index map. Cuts the pre-gather ~4x."""
     tiles_y = height // tile_h
     tiles_x = width // tile_w
     num_tiles = tiles_y * tiles_x
     p = tile_h * tile_w
     cap = bins.ids.shape[1]
     assert cap % CHUNK == 0, f"bin cap {cap} must be a multiple of {CHUNK}"
+    auto_small, auto_hot = split_caps(cap, num_tiles)
+    cap_small = auto_small if cap_small is None else cap_small
+    hot_k = auto_hot if hot_k is None else min(hot_k, num_tiles)
 
     rows = pack_raster_rows(setup)
-    # pre-gather each tile's triangle rows once (tiles*cap row fetches), so
-    # the kernel streams contiguous blocks with zero in-kernel gathers; the
-    # transpose puts each coefficient on the lane axis
-    bins_rows = rows[jnp.maximum(bins.ids, 0)]  # (tiles, cap, 16)
     # padding slots: poison ec0 (col 2) so they never win, id -1
     pad_row = jnp.zeros((16,), jnp.float32).at[2].set(-3e38).at[15].set(-1.0)
-    bins_rows = jnp.where((bins.ids >= 0)[..., None], bins_rows, pad_row)
-    rows_t = bins_rows.transpose(0, 2, 1)       # (tiles, 16, cap)
+
+    def gather_rows(ids):
+        g = rows[jnp.maximum(ids, 0)]
+        g = jnp.where((ids >= 0)[..., None], g, pad_row)
+        return g.transpose(0, 2, 1)             # (n, 16, cap)
+
+    yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
+    counts = jnp.minimum(bins.counts, cap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 16, cap), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, 16, cap_small), lambda t, *_: (t, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
         ],
     )
-
     kernel = functools.partial(
-        _kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, cap=cap
+        _kernel, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        cap=cap_small,
     )
     z_tiles, id_tiles = pl.pallas_call(
         kernel,
@@ -164,10 +208,53 @@ def rasterize_pallas(
         ),
         interpret=interpret,
     )(
-        jnp.minimum(bins.counts, cap),
-        jnp.asarray(y_offset, jnp.float32).reshape(1),
-        rows_t,
+        jnp.minimum(counts, cap_small),
+        yoff,
+        gather_rows(bins.ids[:, :cap_small]),
     )
+
+    if cap > cap_small:
+        hot_counts, hot_idx = jax.lax.top_k(counts, hot_k)
+        hot_idx = hot_idx.astype(jnp.int32)
+        grid_hot = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(hot_k,),
+            in_specs=[
+                pl.BlockSpec((1, 16, cap), lambda i, c, y, ids: (i, 0, 0)),
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+            ],
+        )
+        kernel_hot = functools.partial(
+            _kernel_remap, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+            cap=cap,
+        )
+        z_tiles, id_tiles = pl.pallas_call(
+            kernel_hot,
+            grid_spec=grid_hot,
+            out_shape=[
+                jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+                jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
+            ],
+            # aliased z/id carry the pass-1 results for non-hot tiles
+            # (inputs: 3 scalar-prefetch operands, then rows, z, id)
+            input_output_aliases={4: 0, 5: 1},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            hot_counts,
+            yoff,
+            hot_idx,
+            gather_rows(bins.ids[hot_idx]),
+            z_tiles,
+            id_tiles,
+        )
 
     z_img = (
         z_tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)

@@ -107,9 +107,8 @@ def build_sharded_frame(
         # global). Identical on all chips, so stays consistent.
         if enable_bloom:
             rt_full = bloom_ops.bloom(rt_full)
-        hist = postprocess.luminance_histogram(rt_full)
-        avg = postprocess.average_luminance(
-            hist, float(w * h), prev_avg_lum, delta_time
+        avg = postprocess.average_luminance_direct(
+            rt_full, float(w * h), prev_avg_lum, delta_time
         )
         out = postprocess.tone_map(rt_full, avg)
         rgb8 = (out * 255.0 + 0.5).astype(jnp.uint8)

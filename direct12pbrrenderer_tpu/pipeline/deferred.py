@@ -275,10 +275,15 @@ class DeferredRenderPipeline:
             return {"DeferredShadingRT": bloom_ops.bloom(env["DeferredShadingRT"])}
 
         def auto_exposure_pass(env):
+            # the histogram resource is produced for parity/debug consumers,
+            # but the average is computed by direct reductions so the 256-bin
+            # scatter-add (a sort on TPU) is dead code in the fused frame
+            # whenever nothing reads LuminanceHistogram
             hist = postprocess.luminance_histogram(env["DeferredShadingRT"])
             if cfg.enable_auto_exposure:
-                avg = postprocess.average_luminance(
-                    hist, float(w * h), env["PrevAverageLuminance"], env["DeltaTime"]
+                avg = postprocess.average_luminance_direct(
+                    env["DeferredShadingRT"], float(w * h),
+                    env["PrevAverageLuminance"], env["DeltaTime"]
                 )
             else:
                 avg = jnp.asarray(0.18, jnp.float32)
@@ -417,12 +422,26 @@ class DeferredRenderPipeline:
         )
         self.avg_luminance = avg
         if collect_stats:
+            counts_np = np.asarray(bin_counts)
+            overflow = int(np.maximum(counts_np - self.bin_cap, 0).max())
+            if self.use_pallas:
+                # two-pass raster: tiles beyond the hot set that exceed the
+                # small cap also lose triangles — surface them the same way
+                cap_small, hot_k = raster_pallas.split_caps(
+                    self.bin_cap, counts_np.size
+                )
+                n_over_small = int((counts_np > cap_small).sum())
+                if n_over_small > hot_k:
+                    over = np.sort(counts_np[counts_np > cap_small])
+                    overflow = max(
+                        overflow,
+                        int(np.maximum(over[:-hot_k] - cap_small, 0).max())
+                        if hot_k else int((over - cap_small).max()),
+                    )
             self.last_stats = FrameStats(
                 visible_instances=int(visible.sum()),
                 total_instances=p.instance_count,
                 visible_lights=int(lights.sum()),
-                bin_overflow=int(
-                    np.maximum(np.asarray(bin_counts) - self.bin_cap, 0).max()
-                ),
+                bin_overflow=overflow,
             )
         return rgb8

@@ -122,8 +122,7 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         rt = run("bloom", bloom_ops.bloom, rt)
 
     def post(rt_, prev, dt_):
-        hist = postprocess.luminance_histogram(rt_)
-        avg = postprocess.average_luminance(hist, float(w * h), prev, dt_)
+        avg = postprocess.average_luminance_direct(rt_, float(w * h), prev, dt_)
         out = postprocess.tone_map(rt_, avg)
         return (out * 255.0 + 0.5).astype(jnp.uint8), avg
 

@@ -89,3 +89,12 @@ def test_resize_matrix_phases():
     # downsample 2x half phase: out[k] = 0.5 in[2k+...]
     d = bloom._resize_matrix(4, 8, half_phase=True)
     np.testing.assert_allclose(d[1], [0, 0, 0.5, 0.5, 0, 0, 0, 0])
+
+
+def test_average_luminance_direct_matches_histogram_path():
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.random((32, 48, 3), np.float32) * 5.0)
+    hist = postprocess.luminance_histogram(img)
+    a = float(postprocess.average_luminance(hist, 32.0 * 48, jnp.asarray(0.2), 0.5))
+    b = float(postprocess.average_luminance_direct(img, 32.0 * 48, jnp.asarray(0.2), 0.5))
+    np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -55,3 +55,34 @@ def test_pallas_dynamic_count_correct():
     )
     np.testing.assert_array_equal(np.asarray(ids_pl), np.asarray(ids_ref))
     assert (np.asarray(ids_pl) >= 0).sum() > 0
+
+
+def test_two_pass_hot_tiles_match_xla():
+    """cap > cap_small triggers the hot-tile second pass: hot tiles render
+    full lists, scattered over the small-cap buffers; when every overfull
+    tile fits the hot set, the result equals the XLA rasterizer."""
+    w, h, tile_h, tile_w, cap = 256, 192, 24, 128, 512
+    clip, tris = _scene(2500, 3)
+    setup = raster.setup_triangles(clip, tris, jnp.ones(tris.shape[0], bool), w, h)
+    bins = raster.bin_triangles(setup, h // tile_h, w // tile_w, tile_h, tile_w, cap)
+    counts = np.asarray(bins.counts)
+    # force the two-pass split: tiny small-cap, hot set covering all
+    # overfull tiles (random 300-tri scenes give every tile >128 entries)
+    n_over = int((counts > 128).sum())
+    assert n_over > 0
+    ids_ref, z_ref = raster.rasterize(setup, bins, w, h, tile_h, tile_w)
+    ids_pl, z_pl = raster_pallas.rasterize_pallas(
+        setup, bins, w, h, tile_h, tile_w, interpret=True,
+        cap_small=128, hot_k=max(n_over, 2),
+    )
+    mismatch = np.asarray(ids_pl) != np.asarray(ids_ref)
+    assert mismatch.mean() < 1e-4, f"{mismatch.sum()} id mismatches"
+
+    # with a hot set too small, the missed overfull tiles render truncated
+    # lists -> detectable differences (the overflow-surfacing contract)
+    if n_over > 1:
+        ids_tr, _ = raster_pallas.rasterize_pallas(
+            setup, bins, w, h, tile_h, tile_w, interpret=True,
+            cap_small=128, hot_k=1,
+        )
+        assert (np.asarray(ids_tr) != np.asarray(ids_ref)).any()
