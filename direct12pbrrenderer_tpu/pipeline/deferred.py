@@ -221,9 +221,11 @@ class DeferredRenderPipeline:
                 pallas_interpret=self.pallas_interpret,
             )
             if self.use_pallas_interp:
-                # measured slightly net-negative at 1080p (coherent per-pixel
-                # row gathers are cheaper than modeled); kept as groundwork
-                # for the fused texture-cache kernel (docs/PERF.md)
+                # measured clearly net-negative at 1080p (693 vs 360 ms:
+                # the in-kernel per-chunk plane evaluation multiplies the
+                # raster fold cost by the channel count) — kept only as an
+                # exactness-tested alternative; the shipped path is the
+                # single-row gather + cache kernels below (docs/PERF.md)
                 rows64 = interp_pallas.pack_interp_rows(
                     setup, vattrs, env["tris"], env["mat_rows"], env["tri_material"]
                 )
