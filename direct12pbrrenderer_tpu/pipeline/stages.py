@@ -53,7 +53,7 @@ def binning(setup, width: int, band_h: int, tile_h: int, tile_w: int,
     if t >= 16384 and tiles_y * tiles_x >= 64:
         return raster.bin_triangles_hier(
             setup, tiles_y, tiles_x, tile_h, tile_w, bin_cap,
-            y_offset=y_offset, cap1=min(t, 4 * bin_cap),
+            y_offset=y_offset, cap1=min(t, 8 * bin_cap),
         )
     return raster.bin_triangles(
         setup, tiles_y, tiles_x, tile_h, tile_w, bin_cap, y_offset=y_offset,

@@ -58,3 +58,54 @@ def test_sharded_matches_single_chip():
     diff = np.abs(out.astype(int) - ref.astype(int))
     assert (diff > 1).mean() < 1e-3
     assert float(avg) > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+def test_sharded_with_cache_kernels_matches_single_chip():
+    """The sharded path must route through the SAME texture/env page-cache
+    kernels as single-chip (interpret mode): per-band tiling + y_offset
+    plumbing through the cover planner and both Pallas kernels."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.scene.camera import Camera
+
+    cfg = RenderConfig(
+        width=128, height=96, max_triangles=2048, max_vertices=2048,
+        max_instances=4, max_lights=16,
+    )
+    pipe = DeferredRenderPipeline(
+        build_scene(), cfg, tile_h=24, tile_w=128, bin_cap=512,
+        prefilter_size=16, brdf_lut_size=32,
+        use_tex_kernel=True, pallas_interpret=True,
+    )
+    assert pipe.use_tex_kernel and pipe.env_ids is not None
+    cam = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+    cam.move([0, 0, 4])
+    cam.rotate(0, np.pi, 0)
+    ref = np.asarray(pipe.render(cam))
+
+    mesh = frame_sharded.make_mesh(2)
+    frame = frame_sharded.build_sharded_frame(
+        mesh, cfg, tile_h=24, tile_w=128, bin_cap=512,
+        use_tex_kernel=True, pallas_interpret=True, env_ids=pipe.env_ids,
+    )
+    p = pipe.packed
+    normal_mats = np.ascontiguousarray(
+        np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1)))
+    planes = cam.frustum_planes()
+    view = cam.view_matrix()
+    rgb8, avg = frame(
+        pipe.buffers,
+        jnp.asarray(p.model_mats),
+        jnp.asarray(normal_mats),
+        jnp.asarray(p.instance_visibility(planes)),
+        jnp.asarray(p.visible_lights(planes)),
+        jnp.asarray(view),
+        jnp.asarray(cam.world_matrix()),
+        jnp.asarray(cam.projection_matrix() @ view),
+        jnp.asarray(cam.position),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(1.0 / 60.0, jnp.float32),
+    )
+    out = np.asarray(rgb8)
+    diff = np.abs(out.astype(int) - ref.astype(int))
+    assert (diff > 1).mean() < 1e-3
