@@ -133,6 +133,7 @@ class App:
             "total_instances": stats.total_instances if stats else 0,
             "visible_lights": stats.visible_lights if stats else 0,
             "bin_overflow": stats.bin_overflow if stats else 0,
+            "tex_approx_taps": getattr(stats, "tex_approx_taps", 0) if stats else 0,
         }
         return report
 

@@ -197,6 +197,10 @@ class GBuffer(NamedTuple):
     rough_metal_ao: jnp.ndarray   # (H, W, 3) "GBufferC".rgb
     depth: jnp.ndarray            # (H, W) ndc z
     mask: jnp.ndarray             # (H, W) bool coverage (stencil != 0 analog)
+    tex_approx: jnp.ndarray | None = None
+    # ^ count of texture taps the cache kernel resolved via the average-color
+    #   fallback this frame (None on the XLA sampler path) — the cache's
+    #   honesty counter, surfaced through FrameStats
 
 
 def _quantize8(x):
@@ -296,16 +300,18 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
     lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
     lod5 = jnp.where(mask[..., None], lod5, 99.0)  # background -> last mip
 
+    approx_count = None
     if texture_filter == "anisotropic":
         samples = sample_atlas_anisotropic(
             atlas, tex, uv, ddx, ddy, size5, mask
         )                                                     # (H, W, 5, 4)
     elif use_tex_kernel:
-        samples, _approx = texcache.sample_atlas_textured(
+        samples, approx = texcache.sample_atlas_textured(
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],
             filter=texture_filter, interpret=tex_interpret,
         )  # (H, W, 5, 4)
+        approx_count = approx.sum().astype(jnp.int32)
     else:
         samples = sample_atlas_trilinear(
             atlas, tex, uv[..., 0:1], uv[..., 1:2], lod5,
@@ -347,7 +353,7 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
     gb_a = jnp.where(mask[..., None], gb_a, zero)
     gb_b = jnp.where(mask[..., None], gb_b, zero)
     gb_c = jnp.where(mask[..., None], gb_c, zero)
-    return GBuffer(gb_a, gb_b, gb_c, depth, mask)
+    return GBuffer(gb_a, gb_b, gb_c, depth, mask, approx_count)
 
 
 def _bary(row, px, py):

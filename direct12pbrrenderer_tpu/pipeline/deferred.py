@@ -44,6 +44,7 @@ class FrameStats:
     total_instances: int
     visible_lights: int
     bin_overflow: int = 0
+    tex_approx_taps: int = 0  # cache-kernel taps resolved via fallback
 
 
 class DeferredRenderPipeline:
@@ -250,6 +251,10 @@ class DeferredRenderPipeline:
                 "GBufferC": gb.rough_metal_ao,
                 "GBufferDepthStencil": (gb.depth, gb.mask),
                 "BinCounts": bins.counts,
+                "TexApproxCount": (
+                    gb.tex_approx if gb.tex_approx is not None
+                    else jnp.zeros((), jnp.int32)
+                ),
             }
 
         def deferred_pass(env):
@@ -297,7 +302,8 @@ class DeferredRenderPipeline:
 
         def present_pass(env):
             rgb8 = (env["ToneMappedTexture"] * 255.0 + 0.5).astype(jnp.uint8)
-            return {"BackBuffer": (rgb8, env["AverageLuminance"], env["BinCounts"])}
+            return {"BackBuffer": (rgb8, env["AverageLuminance"],
+                                   env["BinCounts"], env["TexApproxCount"])}
 
         static_reads = tuple(self.buffers.keys())
         passes = [
@@ -315,7 +321,7 @@ class DeferredRenderPipeline:
                  "mat_rows", "atlas", "ModelMats", "NormalMats",
                  "ViewProj", "InstanceVisible"),
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
-                 "BinCounts"),
+                 "BinCounts", "TexApproxCount"),
                 gbuffer_pass,
                 declares={
                     "GBufferA": fg.ResourceDesc((h, w, 4), "float32"),
@@ -362,7 +368,8 @@ class DeferredRenderPipeline:
             ),
             fg.RenderPass(
                 "Present",
-                ("ToneMappedTexture", "AverageLuminance", "BinCounts"),
+                ("ToneMappedTexture", "AverageLuminance", "BinCounts",
+                 "TexApproxCount"),
                 ("BackBuffer",),
                 present_pass,
             ),
@@ -409,7 +416,7 @@ class DeferredRenderPipeline:
         )
 
         view = camera.view_matrix()
-        rgb8, avg, bin_counts = self._frame_jit(
+        rgb8, avg, bin_counts, tex_approx = self._frame_jit(
             self.buffers,
             jnp.asarray(p.model_mats),
             jnp.asarray(normal_mats),
@@ -445,5 +452,6 @@ class DeferredRenderPipeline:
                 total_instances=p.instance_count,
                 visible_lights=int(lights.sum()),
                 bin_overflow=overflow,
+                tex_approx_taps=int(tex_approx),
             )
         return rgb8

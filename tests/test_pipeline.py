@@ -158,3 +158,17 @@ def test_kernel_paths_match_xla_paths(camera):
     got = np.asarray(kpipe.render(camera)).astype(np.float32)
     rmse = float(np.sqrt(np.mean((ref - got) ** 2))) / 255.0
     assert rmse < 1.5e-3, rmse
+
+
+def test_tex_approx_stat_surfaced(camera):
+    """The cache kernel's fallback counter reaches FrameStats (honesty
+    contract: silent degradation is not allowed)."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    kpipe = DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+        use_tex_kernel=True, pallas_interpret=True,
+    )
+    kpipe.render(camera)
+    assert kpipe.last_stats.tex_approx_taps >= 0  # present and integer
