@@ -377,16 +377,27 @@ class DeferredRenderPipeline:
         return fg.compile_graph(passes, present="Present")
 
     # ------------------------------------------------------------------
-    def _frame(
-        self, buffers, model_mats, normal_mats, instance_visible, light_valid,
-        view, inv_view, view_proj, camera_pos, prev_avg_lum, delta_time,
-    ):
+    def _frame(self, buffers, frame_f32, frame_masks, prev_avg_lum):
+        # unpack the single per-frame float upload (see render(): one
+        # host->device transfer instead of ~8 — per-array device_put
+        # overhead was a measurable slice of the frame wall time)
+        i = self.packed.model_mats.shape[0]
+        mm = frame_f32[: i * 16].reshape(i, 4, 4)
+        off = i * 16
+        nm = frame_f32[off : off + i * 9].reshape(i, 3, 3)
+        off += i * 9
+        view = frame_f32[off : off + 16].reshape(4, 4)
+        inv_view = frame_f32[off + 16 : off + 32].reshape(4, 4)
+        view_proj = frame_f32[off + 32 : off + 48].reshape(4, 4)
+        camera_pos = frame_f32[off + 48 : off + 51]
+        delta_time = frame_f32[off + 51]
+        n_inst = frame_masks.shape[0] - self.packed.light_pos.shape[0]
         env = dict(buffers)
         env.update(
-            ModelMats=model_mats,
-            NormalMats=normal_mats,
-            InstanceVisible=instance_visible,
-            LightValid=light_valid,
+            ModelMats=mm,
+            NormalMats=nm,
+            InstanceVisible=frame_masks[:n_inst],
+            LightValid=frame_masks[n_inst:],
             View=view,
             InvView=inv_view,
             ViewProj=view_proj,
@@ -416,18 +427,20 @@ class DeferredRenderPipeline:
         )
 
         view = camera.view_matrix()
+        frame_f32 = np.concatenate([
+            p.model_mats.ravel(), normal_mats.ravel(),
+            np.asarray(view, np.float32).ravel(),
+            np.asarray(camera.world_matrix(), np.float32).ravel(),
+            np.asarray(camera.projection_matrix() @ view, np.float32).ravel(),
+            np.asarray(camera.position, np.float32).ravel(),
+            np.float32([delta_time]),
+        ]).astype(np.float32)
+        frame_masks = np.concatenate([visible, lights])
         rgb8, avg, bin_counts, tex_approx = self._frame_jit(
             self.buffers,
-            jnp.asarray(p.model_mats),
-            jnp.asarray(normal_mats),
-            jnp.asarray(visible),
-            jnp.asarray(lights),
-            jnp.asarray(view),
-            jnp.asarray(camera.world_matrix()),
-            jnp.asarray(camera.projection_matrix() @ view),
-            jnp.asarray(camera.position),
+            jnp.asarray(frame_f32),
+            jnp.asarray(frame_masks),
             self.avg_luminance,
-            jnp.asarray(delta_time, jnp.float32),
         )
         self.avg_luminance = avg
         if collect_stats:
