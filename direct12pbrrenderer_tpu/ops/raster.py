@@ -296,18 +296,15 @@ def bin_triangles_hier(
     over1 = (cnt1 > cap1)[s_of_tile]
     counts = jnp.where(over1, jnp.maximum(counts, cap + 1), counts)
 
-    # candidate lists are ascending triangle ids, so selecting ascending
-    # candidate POSITIONS preserves submission order (same trick as the
-    # flat path's id-based score)
-    pos_score = jnp.where(ov2, cap1 - jnp.arange(cap1, dtype=jnp.int32)[None, :], 0)
-    if cap1 < cap:
-        pos_score = jnp.pad(pos_score, ((0, 0), (0, cap - cap1)))
-    top2, _ = jax.lax.top_k(pos_score, cap)
-    pos = jnp.minimum(cap1 - top2, cap1 - 1)
+    # score by candidate id directly (the flat path's trick): descending
+    # score = ascending triangle id = submission order, and the ids fall
+    # straight out of top_k — no per-element gather afterwards
     cand_t = cand[s_of_tile]                                    # (tiles, cap1)
-    ids = jnp.where(
-        top2 > 0, jnp.take_along_axis(cand_t, pos, axis=1), -1
-    ).astype(jnp.int32)
+    id_score = jnp.where(ov2, t - cand_t, 0)
+    if cap1 < cap:
+        id_score = jnp.pad(id_score, ((0, 0), (0, cap - cap1)))
+    top2, _ = jax.lax.top_k(id_score, cap)
+    ids = jnp.where(top2 > 0, t - top2, -1).astype(jnp.int32)
     return Bins(ids, counts)
 
 
