@@ -377,10 +377,11 @@ class DeferredRenderPipeline:
         return fg.compile_graph(passes, present="Present")
 
     # ------------------------------------------------------------------
-    def _frame(self, buffers, frame_f32, frame_masks, prev_avg_lum):
+    def _frame(self, buffers, frame_f32, prev_avg_lum):
         # unpack the single per-frame float upload (see render(): one
-        # host->device transfer instead of ~8 — per-array device_put
-        # overhead was a measurable slice of the frame wall time)
+        # host->device transfer instead of ~8 — on the remote-attached
+        # platform every transfer is an RPC, and per-frame RPC issue time
+        # is what gates the pipelined frame rate)
         i = self.packed.model_mats.shape[0]
         mm = frame_f32[: i * 16].reshape(i, 4, 4)
         off = i * 16
@@ -391,13 +392,15 @@ class DeferredRenderPipeline:
         view_proj = frame_f32[off + 32 : off + 48].reshape(4, 4)
         camera_pos = frame_f32[off + 48 : off + 51]
         delta_time = frame_f32[off + 51]
-        n_inst = frame_masks.shape[0] - self.packed.light_pos.shape[0]
+        off += 52
+        n_light = self.packed.light_pos.shape[0]
+        masks = frame_f32[off:] > 0.5
         env = dict(buffers)
         env.update(
             ModelMats=mm,
             NormalMats=nm,
-            InstanceVisible=frame_masks[:n_inst],
-            LightValid=frame_masks[n_inst:],
+            InstanceVisible=masks[: masks.shape[0] - n_light],
+            LightValid=masks[masks.shape[0] - n_light :],
             View=view,
             InvView=inv_view,
             ViewProj=view_proj,
@@ -434,12 +437,11 @@ class DeferredRenderPipeline:
             np.asarray(camera.projection_matrix() @ view, np.float32).ravel(),
             np.asarray(camera.position, np.float32).ravel(),
             np.float32([delta_time]),
+            visible.astype(np.float32), lights.astype(np.float32),
         ]).astype(np.float32)
-        frame_masks = np.concatenate([visible, lights])
         rgb8, avg, bin_counts, tex_approx = self._frame_jit(
             self.buffers,
             jnp.asarray(frame_f32),
-            jnp.asarray(frame_masks),
             self.avg_luminance,
         )
         self.avg_luminance = avg
