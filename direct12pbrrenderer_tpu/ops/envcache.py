@@ -13,12 +13,12 @@ kernel, guaranteed fallback pages), different record format:
 * records are CLAMP-addressed 2x2 quads of 4 f32 channels (16 f32 = 64 B)
   instead of wrap-addressed RGBA8 u32 quads — HDR env data, LUT pairs, and
   cube faces clamp at edges (common.CubeMipAtlas / make_quad_tex2d);
-* a cubemap = 6 face textures sharing ONE 1x1 fallback page (the cube's
-  average color), so a tile touching many faces still has a guaranteed
-  in-budget resolution for every tap;
+* every texture/face carries a ONE-page coarse fallback mip (<= 16x8
+  texels), so a tile touching many faces still has a guaranteed in-budget
+  DIRECTIONAL resolution for every tap;
 * trilinear mip halves are two groups sharing a `covered` mask: a tap is
-  exact only if BOTH halves made the cover, else the whole tap resolves to
-  the average-color fallback (counted in `approx`).
+  exact only if BOTH halves made the cover, else the whole tap resolves on
+  the coarse fallback mip (counted in `approx`).
 """
 
 from __future__ import annotations
@@ -32,7 +32,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .texcache import (
-    CAP_FB,
     MAX_MIPS,
     SEG_CHUNK,
     _cover_and_match,
@@ -47,6 +46,8 @@ PAGE_W = 16
 PAGE_H = 8
 PAGE_RECORDS = PAGE_W * PAGE_H
 REC_F32 = 16  # 4 clamp-quad corners x 4 channels
+CAP_FB = 12   # guaranteed coarse-mip fallback pages per group (<= 6 faces
+              # of a cube can appear in one tile, one page each)
 
 
 class FloatAtlas(NamedTuple):
@@ -54,7 +55,8 @@ class FloatAtlas(NamedTuple):
     page_base: jnp.ndarray  # (T, MAX_MIPS) int32 (clamped to last mip)
     base_size: jnp.ndarray  # (T, 2) int32 (w, h)
     n_mips: jnp.ndarray     # (T,) int32
-    fb_page: jnp.ndarray    # (T,) int32 — page of the texture's 1x1 average
+    fb_page: jnp.ndarray    # (T,) int32 — ONE-page coarse-mip fallback
+    fb_size: jnp.ndarray    # (T, 2) int32 — that mip's (w, h), <= (16, 8)
 
 
 def _quad_clamp(m: np.ndarray) -> np.ndarray:
@@ -69,6 +71,17 @@ def _quad_clamp(m: np.ndarray) -> np.ndarray:
     down = m[yd]
     diag = right[yd]
     return np.concatenate([m, right, down, diag], -1).astype(np.float32)
+
+
+def coarse_fallback_mip(last_mip: np.ndarray) -> np.ndarray:
+    """Box-downsample an (h, w, c) image until it fits one 16x8 page."""
+    m = np.asarray(last_mip, np.float32)
+    while m.shape[0] > PAGE_H or m.shape[1] > PAGE_W:
+        h2 = max(m.shape[0] // 2, 1)
+        w2 = max(m.shape[1] // 2, 1)
+        m = m[: h2 * 2, : w2 * 2].reshape(
+            h2, 2, w2, 2, m.shape[-1]).mean((1, 3))
+    return m
 
 
 def _page_major(rec: np.ndarray) -> np.ndarray:
@@ -96,6 +109,7 @@ class FloatAtlasBuilder:
         self.sizes: list[tuple[int, int]] = []
         self.mips: list[int] = []
         self.fb: list[int] = []
+        self.fb_size: list[tuple[int, int]] = []
         self.cursor = 0
 
     def _add_pages(self, rec: np.ndarray) -> int:
@@ -105,39 +119,34 @@ class FloatAtlasBuilder:
         self.cursor += paged.shape[0] // PAGE_RECORDS
         return start
 
-    def _add_one(self, mips: list[np.ndarray], fb_page: int) -> int:
+    def _add_one(self, mips: list[np.ndarray]) -> int:
         offs = [self._add_pages(_quad_clamp(np.asarray(m, np.float32)))
                 for m in mips]
+        # fallback: box-downsample the coarsest provided mip until the whole
+        # mip fits ONE 16x8 page — overflow taps then resolve as a bilinear
+        # sample of THIS mip at their own uv (directional, per face), not a
+        # flat average color (which showed as tile-shaped blocks in mirror
+        # reflections at high resolutions)
+        m = coarse_fallback_mip(mips[-1])
+        fb = self._add_pages(_quad_clamp(m))
         tid = len(self.sizes)
         self.page_base.append(offs)
         self.sizes.append((mips[0].shape[1], mips[0].shape[0]))
         self.mips.append(len(mips))
-        self.fb.append(fb_page)
+        self.fb.append(fb)
+        self.fb_size.append((m.shape[1], m.shape[0]))
         return tid
 
-    def _avg_page(self, arrays: list[np.ndarray]) -> int:
-        avg = np.zeros(4, np.float32)
-        n = 0
-        for a in arrays:
-            a = np.asarray(a, np.float32).reshape(-1, a.shape[-1])
-            s = a.sum(0)
-            avg[: a.shape[-1]] += s
-            n += a.shape[0]
-        avg /= max(n, 1)
-        return self._add_pages(np.tile(avg, (1, 1, 4)))
-
     def add(self, mips: list[np.ndarray]) -> int:
-        """One texture (e.g. the BRDF LUT); fallback = its own average."""
-        fb = self._avg_page([mips[-1]])
-        return self._add_one(mips, fb)
+        """One texture (e.g. the BRDF LUT)."""
+        return self._add_one(mips)
 
     def add_cube(self, face_chains: list[list[np.ndarray]]) -> int:
-        """6 face mip chains -> 6 consecutive texture ids (returns the first);
-        ONE shared 1x1 average-color fallback page for the whole cube."""
-        fb = self._avg_page([ch[-1] for ch in face_chains])
+        """6 face mip chains -> 6 consecutive texture ids (returns the
+        first), each with its own per-face coarse fallback page."""
         base = None
         for ch in face_chains:
-            tid = self._add_one(ch, fb)
+            tid = self._add_one(ch)
             base = tid if base is None else base
         return base
 
@@ -153,18 +162,21 @@ class FloatAtlasBuilder:
             jnp.asarray(np.asarray(self.sizes, np.int32)),
             jnp.asarray(np.asarray(self.mips, np.int32)),
             jnp.asarray(np.asarray(self.fb, np.int32)),
+            jnp.asarray(np.asarray(self.fb_size, np.int32)),
         )
 
 
 # ----------------------------------------------------------------- plan ----
 def fused_table(atlas: FloatAtlas) -> jnp.ndarray:
-    """(T, 3+MAX_MIPS) f32 per-texture rows
-    [base_w, base_h, fb_page, page_base[0..MAX_MIPS-1]] — one T-wide one-hot
-    read per pixel, mip page base via a MAX_MIPS-way select (texcache)."""
+    """(T, 5+MAX_MIPS) f32 per-texture rows
+    [base_w, base_h, fb_page, fb_w, fb_h, page_base[0..MAX_MIPS-1]] — one
+    T-wide one-hot read per pixel, mip page base via a MAX_MIPS-way select
+    (texcache)."""
     return jnp.concatenate(
         [
             atlas.base_size,
             atlas.fb_page[:, None],
+            atlas.fb_size,
             atlas.page_base[:, :MAX_MIPS],
         ],
         axis=-1,
@@ -263,7 +275,7 @@ def sample_env_tiled(
     share: tuple = (),   # tuples of group indices sharing a covered mask
     tile_h: int = 24,
     tile_w: int = 128,
-    cap: int = 28,
+    cap: int = 44,
     block_cap: int | None = 8,
     interpret: bool = False,
 ):
@@ -271,7 +283,8 @@ def sample_env_tiled(
     covers. Returns (rgba (H, W, G, 4), covered (H, W, G), approx (H, W, G)).
 
     `covered` taps are exact (bit-equal to the XLA samplers); `approx` taps
-    overflowed the page budget and resolved to the texture's average color.
+    overflowed the page budget and resolved as a bilinear tap on the
+    texture's one-page coarse fallback mip.
     Groups listed together in `share` (trilinear mip halves) AND their
     covered masks: a tap is never a blend of exact and fallback halves."""
     height, width, g = u.shape
@@ -293,14 +306,20 @@ def sample_env_tiled(
 
     act_t = tile_g(active)
 
-    # guaranteed fallback: the texture's 1x1 average page, record 0
-    fb_page = row[..., 2].astype(jnp.int32)
-    fb_list, _, fb_slot, fb_found = _cover_and_match(
-        tile_g(fb_page), act_t, CAP_FB
+    # guaranteed fallback: a bilinear tap on the texture's one-page coarse
+    # mip at the SAME uv (directional, unlike a flat average)
+    fpage, fintra, ffx, ffy = _tap_addresses_clamp(
+        row[..., 3].astype(jnp.int32), row[..., 4].astype(jnp.int32),
+        row[..., 2].astype(jnp.int32), jnp.zeros_like(mip), u, v,
     )
+    fb_list, _, fb_slot, fb_found = _cover_and_match(
+        tile_g(fpage), act_t, CAP_FB, block_cap=6
+    )
+    fb_rec_t = fb_slot * 128 + tile_g(fintra)
+    fb_fx_t, fb_fy_t = tile_g(ffx), tile_g(ffy)
 
     page, intra, fx, fy = _tap_addresses_clamp(
-        base_w, base_h, select_mip(row[..., 3:], mip), mip, u, v
+        base_w, base_h, select_mip(row[..., 5:], mip), mip, u, v
     )
     page_list, count, slot, found = _cover_and_match(
         tile_g(page), act_t, cap, block_cap=block_cap
@@ -318,10 +337,9 @@ def sample_env_tiled(
     resolved_t = covered_t | fb_found
 
     rec_t = jnp.where(covered_t, (CAP_FB + slot) * 128 + tile_g(intra),
-                      fb_slot * 128)
-    zero = jnp.zeros_like(fx)
-    fx_t = jnp.where(covered_t, tile_g(fx), tile_g(zero))
-    fy_t = jnp.where(covered_t, tile_g(fy), tile_g(zero))
+                      fb_rec_t)
+    fx_t = jnp.where(covered_t, tile_g(fx), fb_fx_t)
+    fy_t = jnp.where(covered_t, tile_g(fy), fb_fy_t)
 
     # page table: per group [fallback (CAP_FB) | cover (cap)]
     ids = jnp.concatenate([fb_list, page_list], axis=-1)   # (tiles, G, span)

@@ -138,21 +138,32 @@ def deferred_shade(
         lo = jnp.floor(lvl).astype(jnp.int32)
         fracm = (lvl - lo)[..., None]
         hi = jnp.minimum(lo + 1, env_mips - 1)
+        # LOD-clamp cascade (what a HW texture cache does when a mip isn't
+        # resident): group 4 re-taps the env at mip+3 — 64x fewer pages, so
+        # mirror-tile footprints that blow the mip-0 budget resolve at a
+        # mild blur instead of the one-page coarse fallback
+        mid = jnp.minimum(lo + 3, env_mips - 1)
         face_e, ue, ve = common.cubemap_coords(refl)
         face_s, us, vs = common.cubemap_coords(ray)
         zero = jnp.zeros_like(lo)
-        tex5 = jnp.stack([env_base + face_e, env_base + face_e,
-                          jnp.full_like(lo, lut_tid), sky_base + face_s], -1)
-        mip5 = jnp.stack([lo, hi, zero, zero], -1)
-        uq = jnp.stack([ue, ue, roughness, us], -1)
-        vq = jnp.stack([ve, ve, n_dot_v, vs], -1)
-        act = jnp.stack([mask, mask, mask, ~mask], -1)
+        tex_e = env_base + face_e
+        tex5 = jnp.stack([tex_e, tex_e, jnp.full_like(lo, lut_tid),
+                          sky_base + face_s, tex_e], -1)
+        mip5 = jnp.stack([lo, hi, zero, zero, mid], -1)
+        uq = jnp.stack([ue, ue, roughness, us, ue], -1)
+        vq = jnp.stack([ve, ve, n_dot_v, vs, ve], -1)
+        act = jnp.stack([mask, mask, mask, ~mask, mask], -1)
         th, tw = env_tile
-        rgba, _, _ = envcache.sample_env_tiled(
+        rgba, covered, _ = envcache.sample_env_tiled(
             env_cache, tex5, mip5, uq, vq, act, share=((0, 1),),
             tile_h=th, tile_w=tw, interpret=env_interpret,
         )
-        env_irr = rgba[..., 0, :3] * (1 - fracm) + rgba[..., 1, :3] * fracm
+        env_exact = rgba[..., 0, :3] * (1 - fracm) + rgba[..., 1, :3] * fracm
+        env_irr = jnp.where(
+            covered[..., 0, None], env_exact,
+            jnp.where(covered[..., 4, None], rgba[..., 4, :3],
+                      rgba[..., 0, :3]),  # group 0 already holds the coarse fb
+        )
         env_brdf = rgba[..., 2, :2]
         sky = rgba[..., 3, :3]
     else:

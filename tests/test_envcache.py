@@ -104,8 +104,10 @@ def test_env_tiled_matches_xla_samplers():
     np.testing.assert_allclose(sky_out[~m], sky_want[~m], atol=1e-6)
 
 
-def test_env_overflow_resolves_to_average():
-    """Tiny page budget -> overflows resolve to the cube's average color."""
+def test_env_overflow_resolves_to_coarse_directional_fallback():
+    """Tiny page budget -> overflow taps resolve as a bilinear sample of the
+    per-face one-page coarse fallback mip at the SAME uv (directional — the
+    flat-average fallback showed as tile-sized blocks in reflections)."""
     rng = np.random.default_rng(9)
     atlas, env_base, sky_base, lut_tid, env_chains, _, _ = _build(
         rng, env_size=64, env_mips=2)
@@ -123,8 +125,27 @@ def test_env_overflow_resolves_to_average():
     )
     cov = np.asarray(covered)[..., 0]
     ap = np.asarray(approx)[..., 0]
-    assert ap.any() and (cov | ap).all()
-    # average over the cube's last mip (what add_cube recorded)
-    avg = np.stack([np.asarray(ch[-1]) for ch in env_chains]).mean((0, 1, 2))
+    assert ap.any() and (cov | ap).all()  # every tap resolves, by design
+
+    def bil_clamp(img, u, v):
+        hh, ww = img.shape[:2]
+        x = u * ww - 0.5
+        y = v * hh - 0.5
+        x0 = np.clip(np.floor(x), 0, ww - 1).astype(int)
+        y0 = np.clip(np.floor(y), 0, hh - 1).astype(int)
+        fx = np.clip(x - x0, 0, 1)[..., None]
+        fy = np.clip(y - y0, 0, 1)[..., None]
+        x1 = np.minimum(x0 + 1, ww - 1)
+        y1 = np.minimum(y0 + 1, hh - 1)
+        return (img[y0, x0] * (1 - fx) * (1 - fy) + img[y0, x1] * fx * (1 - fy)
+                + img[y1, x0] * (1 - fx) * fy + img[y1, x1] * fx * fy)
+
+    fnp = np.asarray(face)
+    unp, vnp = np.asarray(uu), np.asarray(vv)
+    want = np.zeros((h, w, 3), np.float32)
+    for f in range(6):
+        coarse = envcache.coarse_fallback_mip(env_chains[f][-1])
+        m = fnp == f
+        want[m] = bil_clamp(coarse, unp[m], vnp[m])
     got = np.asarray(rgba)[..., 0, :3][ap]
-    np.testing.assert_allclose(got, np.broadcast_to(avg, got.shape), atol=1e-5)
+    np.testing.assert_allclose(got, want[ap], atol=1e-5)
