@@ -46,8 +46,8 @@ PAGE_W = 16
 PAGE_H = 8
 PAGE_RECORDS = PAGE_W * PAGE_H
 REC_F32 = 16  # 4 clamp-quad corners x 4 channels
-CAP_FB = 12   # guaranteed coarse-mip fallback pages per group (<= 6 faces
-              # of a cube can appear in one tile, one page each)
+CAP_FB = 8    # fallback-page slots per group (static list, padded to keep
+              # the per-group staging span SEG_CHUNK-aligned)
 
 
 class FloatAtlas(NamedTuple):
@@ -262,8 +262,8 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
 # ----------------------------------------------------------------- api -----
 @functools.partial(
     jax.jit,
-    static_argnames=("share", "tile_h", "tile_w", "cap", "block_cap",
-                     "interpret"),
+    static_argnames=("fb_tids", "share", "tile_h", "tile_w", "cap",
+                     "block_cap", "interpret"),
 )
 def sample_env_tiled(
     atlas: FloatAtlas,
@@ -272,10 +272,14 @@ def sample_env_tiled(
     u,          # (H, W, G)
     v,          # (H, W, G)
     active,     # (H, W, G) bool
+    fb_tids: tuple = (),  # per group: STATIC tuple of texture ids the group
+                          # can touch (<= CAP_FB) — their one-page coarse
+                          # fallback mips are always staged, so every tap
+                          # resolves with zero fallback-cover work
     share: tuple = (),   # tuples of group indices sharing a covered mask
     tile_h: int = 24,
     tile_w: int = 128,
-    cap: int = 44,
+    cap: int | tuple = 28,   # per-group page budgets (int = uniform)
     block_cap: int | None = 8,
     interpret: bool = False,
 ):
@@ -292,7 +296,11 @@ def sample_env_tiled(
     blocks = -(-p // 128)
     blocks += (-blocks) % 8
     n_tiles = (height // tile_h) * (width // tile_w)
-    assert (cap + CAP_FB) % SEG_CHUNK == 0
+    caps = cap if isinstance(cap, tuple) else (cap,) * g
+    assert len(caps) == g
+    assert len(fb_tids) == g
+    assert all(0 < len(t) <= CAP_FB for t in fb_tids)
+    assert all((c + CAP_FB) % SEG_CHUNK == 0 for c in caps)
 
     from .texcache import select_mip
 
@@ -307,22 +315,42 @@ def sample_env_tiled(
     act_t = tile_g(active)
 
     # guaranteed fallback: a bilinear tap on the texture's one-page coarse
-    # mip at the SAME uv (directional, unlike a flat average)
-    fpage, fintra, ffx, ffy = _tap_addresses_clamp(
+    # mip at the SAME uv (directional, unlike a flat average). Each group's
+    # possible textures are statically known (fb_tids), so the fallback
+    # pages are a STATIC per-group list and the per-pixel fallback slot is
+    # a handful of compares — no cover extraction at all.
+    _, fintra, ffx, ffy = _tap_addresses_clamp(
         row[..., 3].astype(jnp.int32), row[..., 4].astype(jnp.int32),
         row[..., 2].astype(jnp.int32), jnp.zeros_like(mip), u, v,
     )
-    fb_list, _, fb_slot, fb_found = _cover_and_match(
-        tile_g(fpage), act_t, CAP_FB, block_cap=6
-    )
-    fb_rec_t = fb_slot * 128 + tile_g(fintra)
+    fb_slot = jnp.zeros_like(tex)
+    for i, tids in enumerate(fb_tids):
+        s_i = jnp.zeros(tex.shape[:-1], jnp.int32)
+        for j, tid in enumerate(tids):
+            s_i = jnp.where(tex[..., i] == tid, j, s_i)
+        fb_slot = fb_slot.at[..., i].set(s_i)
+    fb_rec_t = tile_g(fb_slot) * 128 + tile_g(fintra)
     fb_fx_t, fb_fy_t = tile_g(ffx), tile_g(ffy)
+    # (tiles-invariant) fallback page rows per group, padded to CAP_FB
+    fb_rows = [
+        jnp.broadcast_to(
+            atlas.fb_page[jnp.asarray(tids + (tids[0],) * (CAP_FB - len(tids)),
+                                      jnp.int32)][None, :],
+            (n_tiles, CAP_FB),
+        )
+        for tids in fb_tids
+    ]
 
     page, intra, fx, fy = _tap_addresses_clamp(
         base_w, base_h, select_mip(row[..., 5:], mip), mip, u, v
     )
+    if block_cap is None:
+        assert len(set(caps)) == 1, "per-group caps need block_cap"
+        cap_arg = caps[0]
+    else:
+        cap_arg = caps
     page_list, count, slot, found = _cover_and_match(
-        tile_g(page), act_t, cap, block_cap=block_cap
+        tile_g(page), act_t, cap_arg, block_cap=block_cap
     )
 
     # shared covers: a trilinear tap is exact only if every half covered
@@ -334,19 +362,21 @@ def sample_env_tiled(
             )
             for i in grp:
                 covered_t = covered_t.at[:, i].set(both)
-    resolved_t = covered_t | fb_found
+    # every active tap resolves: covered exactly, or on its fallback page
+    # (always staged, by construction)
 
     rec_t = jnp.where(covered_t, (CAP_FB + slot) * 128 + tile_g(intra),
                       fb_rec_t)
     fx_t = jnp.where(covered_t, tile_g(fx), fb_fx_t)
     fy_t = jnp.where(covered_t, tile_g(fy), fb_fy_t)
 
-    # page table: per group [fallback (CAP_FB) | cover (cap)]
-    ids = jnp.concatenate([fb_list, page_list], axis=-1)   # (tiles, G, span)
+    # page table: per group [fallback (CAP_FB) | cover (caps[i])]
+    ids = jnp.concatenate(
+        [jnp.concatenate([fb_rows[i], page_list[:, i, : caps[i]]], -1)
+         for i in range(g)], axis=-1,
+    )                                                      # (tiles, CAPT)
     cnts = CAP_FB + count                                  # (tiles, G)
-    span = cap + CAP_FB
-    capt = g * span
-    ids = ids.reshape(n_tiles, capt)
+    capt = sum(caps) + g * CAP_FB
 
     n_pages = atlas.data.shape[0] // PAGE_RECORDS
     pages_view = atlas.data.reshape(n_pages, PAGE_RECORDS, REC_F32)
@@ -356,8 +386,13 @@ def sample_env_tiled(
         n_tiles, capt * REC_F32, PAGE_RECORDS
     )
 
-    caps_t = tuple(span for _ in range(g))
-    bases = tuple(i * span for i in range(g))
+    caps_t = tuple(c + CAP_FB for c in caps)
+    bases = []
+    off = 0
+    for c in caps_t:
+        bases.append(off)
+        off += c
+    bases = tuple(bases)
     kernel = functools.partial(
         _kernel, blocks=blocks, caps=caps_t, bases=bases, n_groups=g,
     )
@@ -391,7 +426,4 @@ def sample_env_tiled(
     covered = jnp.moveaxis(
         _untile(covered_t, height, width, tile_h, tile_w), 0, -1
     )
-    resolved = jnp.moveaxis(
-        _untile(resolved_t, height, width, tile_h, tile_w), 0, -1
-    )
-    return rgba, covered, resolved & ~covered
+    return rgba, covered, active & ~covered

@@ -132,7 +132,9 @@ def deferred_shade(
         # background sky) through ONE float page-cache kernel call
         from . import envcache
 
-        env_base, sky_base, lut_tid, env_mips = env_ids
+        env_base, sky_base, lut_tid, env_mips, has_env = (
+            env_ids if len(env_ids) == 5 else (*env_ids, True)
+        )
         lvl = jnp.clip(roughness * PREFILTER_ENVMAP_MIP_LEVELS, 0.0,
                        env_mips - 1.0)
         lo = jnp.floor(lvl).astype(jnp.int32)
@@ -142,28 +144,47 @@ def deferred_shade(
         # resident): group 4 re-taps the env at mip+3 — 64x fewer pages, so
         # mirror-tile footprints that blow the mip-0 budget resolve at a
         # mild blur instead of the one-page coarse fallback
-        mid = jnp.minimum(lo + 3, env_mips - 1)
         face_e, ue, ve = common.cubemap_coords(refl)
         face_s, us, vs = common.cubemap_coords(ray)
         zero = jnp.zeros_like(lo)
         tex_e = env_base + face_e
-        tex5 = jnp.stack([tex_e, tex_e, jnp.full_like(lo, lut_tid),
-                          sky_base + face_s, tex_e], -1)
-        mip5 = jnp.stack([lo, hi, zero, zero, mid], -1)
-        uq = jnp.stack([ue, ue, roughness, us, ue], -1)
-        vq = jnp.stack([ve, ve, n_dot_v, vs, ve], -1)
-        act = jnp.stack([mask, mask, mask, ~mask, mask], -1)
+        env_tids = tuple(range(env_base, env_base + 6))
+        sky_tids = tuple(range(sky_base, sky_base + 6))
+        groups = [
+            (tex_e, lo, ue, ve, mask, env_tids),
+            (tex_e, hi, ue, ve, mask, env_tids),
+            (jnp.full_like(lo, lut_tid), zero, roughness, n_dot_v, mask,
+             (lut_tid,)),
+            (sky_base + face_s, zero, us, vs, ~mask, sky_tids),
+        ]
+        caps = [32, 32, 32, 32]
+        if has_env:
+            # cascade group only when there IS env content to resolve
+            mid = jnp.minimum(lo + 3, env_mips - 1)
+            groups.append((tex_e, mid, ue, ve, mask, env_tids))
+            caps.append(16)
+        tex5 = jnp.stack([gr[0] for gr in groups], -1)
+        mip5 = jnp.stack([gr[1] for gr in groups], -1)
+        uq = jnp.stack([gr[2] for gr in groups], -1)
+        vq = jnp.stack([gr[3] for gr in groups], -1)
+        act = jnp.stack([gr[4] for gr in groups], -1)
         th, tw = env_tile
         rgba, covered, _ = envcache.sample_env_tiled(
-            env_cache, tex5, mip5, uq, vq, act, share=((0, 1),),
+            env_cache, tex5, mip5, uq, vq, act,
+            fb_tids=tuple(gr[5] for gr in groups), share=((0, 1),),
+            cap=tuple(caps),
             tile_h=th, tile_w=tw, interpret=env_interpret,
         )
         env_exact = rgba[..., 0, :3] * (1 - fracm) + rgba[..., 1, :3] * fracm
-        env_irr = jnp.where(
-            covered[..., 0, None], env_exact,
-            jnp.where(covered[..., 4, None], rgba[..., 4, :3],
-                      rgba[..., 0, :3]),  # group 0 already holds the coarse fb
-        )
+        if has_env:
+            env_irr = jnp.where(
+                covered[..., 0, None], env_exact,
+                jnp.where(covered[..., 4, None], rgba[..., 4, :3],
+                          rgba[..., 0, :3]),  # group 0 holds the coarse fb
+            )
+        else:
+            env_irr = jnp.where(covered[..., 0, None], env_exact,
+                                rgba[..., 0, :3])
         env_brdf = rgba[..., 2, :2]
         sky = rgba[..., 3, :3]
     else:

@@ -176,6 +176,7 @@ def _cover_and_match(pages, act, cap, block_cap: int | None = None):
     this bounds only adversarial content."""
     if block_cap is not None:
         return _cover_and_match_2level(pages, act, cap, block_cap)
+    assert not isinstance(cap, tuple), "per-group caps need block_cap"
     shape = pages.shape
     pages = pages.reshape(shape[0], shape[1], -1)
     vals0 = jnp.where(act.reshape(pages.shape), pages, SENTINEL)
@@ -206,16 +207,20 @@ def _cover_and_match(pages, act, cap, block_cap: int | None = None):
     return page_list, count, slot.reshape(shape), found.reshape(shape) & act
 
 
-def _distinct_by_sort(cand, cap):
+def _distinct_by_sort(cand, cap_max, cap_arr=None):
     """Exact distinct-value extraction per row of `cand` (..., L) int32
     (SENTINEL = absent), by sorting instead of a cap-step min-scan.
 
-    Returns (page_list (..., cap) ascending distinct values [0-padded],
-             count (...,) int32 distinct count clamped to cap,
-             rank (..., L) each element's rank among the row's distinct
-             values (== its slot in page_list; >= cap when not covered),
-             found (..., L) rank < cap and not SENTINEL)."""
+    cap_arr (optional) broadcasts against the leading dims for per-row
+    budgets (<= cap_max). Returns
+    (page_list (..., cap_max) ascending distinct values [0-padded],
+     count (...,) int32 distinct count clamped to the row's cap,
+     rank (..., L) each element's rank among the row's distinct values
+     (== its slot in page_list; >= cap when not covered),
+     found (..., L) rank < cap and not SENTINEL)."""
     L = cand.shape[-1]
+    if cap_arr is None:
+        cap_arr = jnp.full((1,) * (cand.ndim - 1), cap_max, jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, cand.shape, cand.ndim - 1)
     sv, sp = jax.lax.sort((cand, iota), dimension=-1, num_keys=1)
     first = jnp.concatenate(
@@ -224,20 +229,20 @@ def _distinct_by_sort(cand, cap):
     ) & (sv != SENTINEL)
     rank_sorted = jnp.cumsum(first.astype(jnp.int32), axis=-1) - 1
     rank_sorted = jnp.where(sv != SENTINEL, rank_sorted, L)
-    count = jnp.minimum(first.sum(-1).astype(jnp.int32), cap)
+    count = jnp.minimum(first.sum(-1).astype(jnp.int32), cap_arr)
 
     # compact the distinct values to the front (second sort, key = rank)
     key2 = jnp.where(first, rank_sorted, L)
     _, vv = jax.lax.sort((key2, sv), dimension=-1, num_keys=1)
     page_list = jnp.where(
-        jnp.arange(cap, dtype=jnp.int32) < count[..., None],
-        vv[..., :cap], 0,
+        jnp.arange(cap_max, dtype=jnp.int32) < count[..., None],
+        vv[..., :cap_max], 0,
     )
 
     # ranks back at original positions (third sort, key = original index)
     _, rank = jax.lax.sort((sp, rank_sorted), dimension=-1, num_keys=1)
-    found = rank < cap
-    return page_list, count, jnp.minimum(rank, cap - 1), found
+    found = rank < cap_arr[..., None]
+    return page_list, count, jnp.minimum(rank, cap_arr[..., None] - 1), found
 
 
 def _cover_and_match_2level(pages, act, cap, block_cap):
@@ -263,9 +268,19 @@ def _cover_and_match_2level(pages, act, cap, block_cap):
     candA = jnp.moveaxis(candA, 0, -1)                 # (tiles, g, blocks, B)
 
     # tile level: sort-based distinct extraction over the block candidates
-    # (blocks*B elements — 3 short sorts beat a cap-step min-scan ~2x)
+    # (blocks*B elements — 3 short sorts beat a cap-step min-scan ~2x).
+    # `cap` may be per-group (tuple of g ints): ranks are cap-independent,
+    # so per-group budgets just change the rank cutoffs.
     cand = candA.reshape(tiles, g, blocks * block_cap)
-    page_list, count, slotB, foundB = _distinct_by_sort(cand, cap)
+    if isinstance(cap, tuple):
+        cap_arr = jnp.asarray(cap, jnp.int32)[None, :]
+        cap_max = max(cap)
+    else:
+        cap_arr = jnp.full((1, g), cap, jnp.int32)
+        cap_max = cap
+    page_list, count, slotB, foundB = _distinct_by_sort(
+        cand, cap_max, cap_arr
+    )
     slotB = slotB.reshape(tiles, g, blocks, block_cap)
     foundB = foundB.reshape(tiles, g, blocks, block_cap)
 

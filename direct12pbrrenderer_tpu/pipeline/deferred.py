@@ -139,8 +139,10 @@ class DeferredRenderPipeline:
             sky_base = b.add_cube([[sky_np[f]] for f in range(6)])
             lut_tid = b.add([np.asarray(self.brdf_lut)])
             self.env_atlas = b.build()
-            self.env_ids = (env_base, sky_base, lut_tid,
-                            len(pf_np))
+            has_env = bool(
+                scene.skybox is not None and scene.skybox.cubemap is not None
+            )
+            self.env_ids = (env_base, sky_base, lut_tid, len(pf_np), has_env)
             self.env_tile = _envcache.pick_tile(cfg.height, cfg.width)
 
         self.cluster_bounds = jnp.asarray(

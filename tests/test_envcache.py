@@ -81,8 +81,12 @@ def test_env_tiled_matches_xla_samplers():
 
     # adversarial random dirs touch all 6 faces x 4 mips (~30 pages/group);
     # cap sized so everything fits -> full cover expected
+    fb = (tuple(range(env_base, env_base + 6)),
+          tuple(range(env_base, env_base + 6)),
+          (lut_tid,),
+          tuple(range(sky_base, sky_base + 6)))
     rgba, covered, approx = envcache.sample_env_tiled(
-        atlas, tex, mip, u, v, active, share=((0, 1),), cap=36,
+        atlas, tex, mip, u, v, active, fb_tids=fb, share=((0, 1),), cap=40,
         block_cap=None, interpret=True,
     )
     cov = np.asarray(covered)
@@ -121,7 +125,8 @@ def test_env_overflow_resolves_to_coarse_directional_fallback():
     rgba, covered, approx = envcache.sample_env_tiled(
         atlas, (env_base + face)[..., None], zero[..., None],
         uu[..., None], vv[..., None], ones[..., None],
-        cap=4, interpret=True,
+        fb_tids=(tuple(range(env_base, env_base + 6)),),
+        cap=8, interpret=True,
     )
     cov = np.asarray(covered)[..., 0]
     ap = np.asarray(approx)[..., 0]
