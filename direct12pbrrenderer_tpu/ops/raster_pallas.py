@@ -137,6 +137,285 @@ def _kernel_body(tile, count_in, yoff_ref, rows_ref, z_out, id_out, *,
     id_out[0, :, :] = idbuf
 
 
+def _kernel_interp(counts_ref, yoff_ref, rows_ref, z_out, id_out, pl_out, *,
+                   tile_h, tile_w, tiles_x, cap):
+    _kernel_interp_body(pl.program_id(0), counts_ref[pl.program_id(0)],
+                        yoff_ref, rows_ref, z_out, id_out, pl_out,
+                        tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x, cap=cap)
+
+
+def _kernel_interp_remap(counts_ref, yoff_ref, ids_ref, rows_ref, z_in, id_in,
+                         pl_in, z_out, id_out, pl_out, *, tile_h, tile_w,
+                         tiles_x, cap):
+    i = pl.program_id(0)
+    del z_in, id_in, pl_in  # aliased storage; whole block overwritten below
+    _kernel_interp_body(ids_ref[i], counts_ref[i], yoff_ref, rows_ref, z_out,
+                        id_out, pl_out, tile_h=tile_h, tile_w=tile_w,
+                        tiles_x=tiles_x, cap=cap)
+
+
+def _kernel_interp_body(tile, count_in, yoff_ref, rows_ref, z_out, id_out,
+                        pl_out, *, tile_h, tile_w, tiles_x, cap):
+    """Depth fold + winning-row select + in-kernel attribute interpolation.
+
+    Identical visibility to _kernel_body, plus: each chunk's per-pixel winner
+    row (all 64 columns) is selected by a one-hot MXU matmul (exact — one
+    addend per output, HIGHEST precision) and carried through the fold; after
+    the fold the perspective barycentrics and the 8 vertex-attribute channels
+    are evaluated with the same formulas as gbuffer._bary + gbuffer_shade, so
+    the output planes match the XLA row-gather path to FMA re-association
+    (material columns exactly; interp within ~1e-4). Removes the per-pixel
+    256 B tri_rows gather entirely (docs/PERF.md round-3).
+
+    Row layout (pack_interp_raster_rows):
+      [raster 16 (pack_raster_rows) | material 16 | vertex attrs 24 | pad 8]
+    Output planes (1, 24, p): [interp uv/nrm/tan (8) | material row (16)].
+    """
+    p = tile_h * tile_w
+
+    ox = ((tile % tiles_x) * tile_w).astype(jnp.float32)
+    oy = ((tile // tiles_x) * tile_h).astype(jnp.float32) + yoff_ref[0]
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (lin % tile_w).astype(jnp.float32) + 0.5 + ox
+    py = (lin // tile_w).astype(jnp.float32) + 0.5 + oy
+
+    count = jnp.minimum(count_in, cap)
+    n_chunks = (count + CHUNK - 1) // CHUNK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def body(c, carry):
+        zbuf, idbuf, rowbuf = carry  # (p, 1), (p, 1), (p, 64)
+        base = pl.multiple_of(c * CHUNK, 128)
+        chunk = rows_ref[0, :, pl.ds(base, CHUNK)]     # (64, CHUNK)
+
+        def col(j):
+            return chunk[j][None, :]                   # (1, CHUNK)
+
+        s0 = px * col(0) + py * col(1) + col(2)
+        s1 = px * col(3) + py * col(4) + col(5)
+        s2 = px * col(6) + py * col(7) + col(8)
+        inside = jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0
+        den = s0 * col(12) + s1 * col(13) + s2 * col(14)
+        zc = (s0 * col(9) + s1 * col(10) + s2 * col(11)) / jnp.where(
+            den == 0.0, 1.0, den
+        )
+        ok = inside & (den > 0.0) & (zc >= 0.0) & (zc <= 1.0)
+        zc = jnp.where(ok, zc, jnp.inf)
+
+        best = jnp.argmin(zc, axis=1, keepdims=True)   # (p, 1), first min
+        best_z = jnp.min(zc, axis=1, keepdims=True)    # (p, 1)
+        ids = col(15)
+        sel = jnp.where(best == lane, ids, 0.0).sum(axis=1, keepdims=True)
+
+        upd = best_z < zbuf
+        onehot = ((best == lane) & upd).astype(jnp.float32)   # (p, CHUNK)
+        row_sel = jax.lax.dot_general(
+            onehot, chunk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                              # (p, 64) exact select
+        zbuf = jnp.where(upd, best_z, zbuf)
+        idbuf = jnp.where(upd, sel.astype(jnp.int32), idbuf)
+        rowbuf = jnp.where(upd, row_sel, rowbuf)
+        return zbuf, idbuf, rowbuf
+
+    init = (
+        jnp.full((p, 1), jnp.inf, jnp.float32),
+        jnp.full((p, 1), -1, jnp.int32),
+        jnp.zeros((p, 64), jnp.float32),
+    )
+    zbuf, idbuf, rowbuf = jax.lax.fori_loop(0, n_chunks, body, init)
+    z_out[0, :, :] = zbuf
+    id_out[0, :, :] = idbuf
+
+    # ---- post-fold interpolation, strictly 2-D + tiny MXU contractions ----
+    # (per-column 1-D extractions like rowbuf[:, 3*i] lower to per-vreg
+    # shuffle storms that OOM the Mosaic compiler at any grid size)
+    #
+    # barycentric scores as gbuffer._bary: B_i = e_i . (px, py, 1). Build the
+    # (p, 64) pointwise terms rowbuf * [px|py|1 pattern] once, then contract
+    # with constant 0/1 matrices: srep[:, 8v+k] = B_v, sumrep = sum B (all
+    # columns equal) — exact one/three-addend sums under HIGHEST precision.
+    lane64 = jax.lax.broadcasted_iota(jnp.int32, (p, 64), 1)
+    mod3 = lane64 % 3
+    edge = lane64 < 9
+    pat = jnp.where(mod3 == 0, px, 0.0)
+    pat = jnp.where(mod3 == 1, py, pat)
+    pat = jnp.where(mod3 == 2, 1.0, pat)
+    prod = rowbuf * jnp.where(edge, pat, 0.0)          # (p, 64) B-term grid
+    j24 = jax.lax.broadcasted_iota(jnp.int32, (64, 24), 0)
+    c24 = jax.lax.broadcasted_iota(jnp.int32, (64, 24), 1)
+    sel_s = ((j24 // 3 == c24 // 8) & (j24 < 9)).astype(jnp.float32)
+    sel_sum = (j24 < 9).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
+    srep = jax.lax.dot_general(
+        prod, sel_s, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)           # (p, 24) B_v per col
+    sumrep = jax.lax.dot_general(
+        prod, sel_sum, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    lamrep = srep / jnp.where(sumrep == 0.0, 1.0, sumrep)
+    wattr = rowbuf[:, 32:56] * lamrep                  # (p, 24) lam_v * a_vk
+    # interp channel k = (w0k + w1k) + w2k — same association as the gather
+    # path's XLA reduce
+    interp8 = (wattr[:, 0:8] + wattr[:, 8:16]) + wattr[:, 16:24]
+    pl_out[0, :, :] = jnp.concatenate(
+        [interp8, rowbuf[:, 16:32]], axis=1)           # (p, 24) one store
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "tile_h", "tile_w", "interpret",
+                     "cap_small", "hot_k"),
+)
+def rasterize_interp_pallas(
+    setup: raster.TriangleSetup,
+    bins: raster.Bins,
+    rows64: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    y_offset=0,
+    interpret: bool = False,
+    cap_small: int | None = None,
+    hot_k: int | None = None,
+):
+    """Fused raster + attribute interpolation (same two-pass structure as
+    rasterize_pallas). Returns (tri_id (H, W), z (H, W), planes (24, H, W))
+    where planes feed gbuffer.gbuffer_shade_planar: channels 0-7 are the
+    perspective-interpolated [uv, normal_ws, tangent_ws], 8-23 the winning
+    triangle's material row — equal to the tri_rows[tid] gather path up to
+    FMA re-association (see _kernel_interp_body).
+
+    Mirrors gbuffer.hlsl ps_main attribute interpolation (:89-104) done by
+    fixed-function hardware on the reference; here it rides the raster fold's
+    VMEM state so the per-pixel row gather disappears (docs/PERF.md)."""
+    tiles_y = height // tile_h
+    tiles_x = width // tile_w
+    num_tiles = tiles_y * tiles_x
+    p = tile_h * tile_w
+    cap = bins.ids.shape[1]
+    assert cap % CHUNK == 0, f"bin cap {cap} must be a multiple of {CHUNK}"
+    auto_small, auto_hot = split_caps(cap, num_tiles)
+    cap_small = auto_small if cap_small is None else cap_small
+    hot_k = auto_hot if hot_k is None else min(hot_k, num_tiles)
+
+    pad_row = (
+        jnp.zeros((64,), jnp.float32).at[2].set(-3e38).at[15].set(-1.0)
+    )
+
+    def gather_rows(ids):
+        g = rows64[jnp.maximum(ids, 0)]
+        g = jnp.where((ids >= 0)[..., None], g, pad_row)
+        return g.transpose(0, 2, 1)             # (n, 64, cap)
+
+    yoff = jnp.asarray(y_offset, jnp.float32).reshape(1)
+    counts = jnp.minimum(bins.counts, cap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 64, cap_small), lambda t, *_: (t, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, p, 24), lambda t, *_: (t, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_interp, tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
+        cap=cap_small,
+    )
+    z_tiles, id_tiles, pl_tiles = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, p, 24), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        jnp.minimum(counts, cap_small),
+        yoff,
+        gather_rows(bins.ids[:, :cap_small]),
+    )
+
+    if cap > cap_small:
+        hot_counts, hot_idx = jax.lax.top_k(counts, hot_k)
+        hot_idx = hot_idx.astype(jnp.int32)
+        grid_hot = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(hot_k,),
+            in_specs=[
+                pl.BlockSpec((1, 64, cap), lambda i, c, y, ids: (i, 0, 0)),
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, p, 24), lambda i, c, y, ids: (ids[i], 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, p, 1), lambda i, c, y, ids: (ids[i], 0, 0)),
+                pl.BlockSpec((1, p, 24), lambda i, c, y, ids: (ids[i], 0, 0)),
+            ],
+        )
+        kernel_hot = functools.partial(
+            _kernel_interp_remap, tile_h=tile_h, tile_w=tile_w,
+            tiles_x=tiles_x, cap=cap,
+        )
+        z_tiles, id_tiles, pl_tiles = pl.pallas_call(
+            kernel_hot,
+            grid_spec=grid_hot,
+            out_shape=[
+                jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.float32),
+                jax.ShapeDtypeStruct((num_tiles, p, 1), jnp.int32),
+                jax.ShapeDtypeStruct((num_tiles, p, 24), jnp.float32),
+            ],
+            # inputs: 3 scalar-prefetch operands, then rows, z, id, planes
+            input_output_aliases={4: 0, 5: 1, 6: 2},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            hot_counts,
+            yoff,
+            hot_idx,
+            gather_rows(bins.ids[hot_idx]),
+            z_tiles,
+            id_tiles,
+            pl_tiles,
+        )
+
+    def untile(tiles, ch=None):
+        if ch is None:
+            return (
+                tiles.reshape(tiles_y, tiles_x, tile_h, tile_w)
+                .transpose(0, 2, 1, 3)
+                .reshape(height, width)
+            )
+        # channel-LAST tile blocks (the kernel's single contiguous store)
+        return (
+            tiles.reshape(tiles_y, tiles_x, tile_h, tile_w, ch)
+            .transpose(4, 0, 2, 1, 3)
+            .reshape(ch, height, width)
+        )
+
+    z_img = untile(z_tiles)
+    id_img = untile(id_tiles)
+    planes = untile(pl_tiles, 24)
+    z_img = jnp.where(jnp.isinf(z_img), 1.0, z_img)
+    return id_img, z_img, planes
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "interpret",

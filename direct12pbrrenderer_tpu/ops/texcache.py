@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import gbuffer
 
-SENTINEL = jnp.int32(2**31 - 1)
+SENTINEL = 2**31 - 1  # plain int: usable inside Pallas kernels (no capture)
 MAX_MIPS = 13
 CAP_FB = 4       # guaranteed last-mip fallback pages per group
 SEG_CHUNK = 8    # segments per take_along_axis sweep op
@@ -101,9 +101,14 @@ def fused_tex_table(atlas: gbuffer.AtlasDevice) -> jnp.ndarray:
     All values int-exact in f32. ONE row per texture (not per (tex, mip)):
     the per-pixel lookup is a T-wide one-hot matmul and the mip's page base
     is then a cheap MAX_MIPS-way select — ~40x fewer per-pixel compares
-    than a (T*MAX_MIPS)-row table at frame scale."""
+    than a (T*MAX_MIPS)-row table at frame scale.
+
+    The fallback page is page_base[n_mips]: either the real 1x1 coarsest mip
+    (clamped entry) or the synthetic average-color page scene_pack appends
+    for textures whose chain stops above 1x1 — always 1x1-addressable."""
     last = jnp.take_along_axis(
-        atlas.page_base, (atlas.n_mips - 1)[:, None], axis=1
+        atlas.page_base, jnp.minimum(atlas.n_mips, MAX_MIPS - 1)[:, None],
+        axis=1,
     )
     return jnp.concatenate(
         [
@@ -158,7 +163,8 @@ def _tap_addresses(base_w, base_h, page_base, mip, u, v):
     return page, intra, fx, fy
 
 
-def _cover_and_match(pages, act, cap, block_cap: int | None = None):
+def _cover_and_match(pages, act, cap, block_cap: int | None = None,
+                     kernel: bool = False, interpret: bool = False):
     """pages/act: (tiles, g, blocks, 128). Extract up to `cap` distinct page
     ids per (tile, group) and match every pixel against them.
 
@@ -175,7 +181,8 @@ def _cover_and_match(pages, act, cap, block_cap: int | None = None):
     counted in `approx` by the caller) — real frames are row-coherent, so
     this bounds only adversarial content."""
     if block_cap is not None:
-        return _cover_and_match_2level(pages, act, cap, block_cap)
+        return _cover_and_match_2level(pages, act, cap, block_cap,
+                                       kernel=kernel, interpret=interpret)
     assert not isinstance(cap, tuple), "per-group caps need block_cap"
     shape = pages.shape
     pages = pages.reshape(shape[0], shape[1], -1)
@@ -245,27 +252,136 @@ def _distinct_by_sort(cand, cap_max, cap_arr=None):
     return page_list, count, jnp.minimum(rank, cap_arr[..., None] - 1), found
 
 
-def _cover_and_match_2level(pages, act, cap, block_cap):
-    """Two-level distinct-page extraction (see _cover_and_match)."""
+def _block_cover_kernel(pages_ref, act_ref, cand_out, slot_out, *,
+                        block_cap, g):
+    """Per-tile block-level distinct-page scan, VMEM-resident.
+
+    Replicates _cover_and_match_2level's stepA exactly (same candidate order,
+    slot indices, and found semantics) but keeps the block_cap-step scan's
+    carries on-chip: the XLA scan streams ~(16 steps x 3 carries x 80 MB)
+    through HBM at 1080p — the texture cache's single biggest planning cost
+    (docs/PERF.md round-3). slot == block_cap encodes "not found"."""
+    for gi in range(g):
+        pages = pages_ref[0, gi]                       # (blocks, 128) i32
+        act = act_ref[0, gi] != 0
+        v = jnp.where(act, pages, SENTINEL)
+        slot = jnp.full(pages.shape, block_cap, jnp.int32)
+        cands = []
+        for k in range(block_cap):
+            m = jnp.min(v, axis=1, keepdims=True)      # (blocks, 1)
+            live = m != SENTINEL
+            hit = (pages == m) & live
+            slot = jnp.where(hit, k, slot)
+            v = jnp.where(pages == m, SENTINEL, v)
+            cands.append(m)
+        cand_out[0, gi] = jnp.concatenate(cands, axis=1)
+        slot_out[0, gi] = slot
+
+
+def _block_cover_pallas(pages, act, block_cap, interpret=False):
+    """(candA (tiles, g, blocks, B), slotA (tiles, g, blocks, 128) with
+    block_cap = not-found) — kernel version of stepA."""
     tiles, g, blocks, _ = pages.shape
-    valsA = jnp.where(act, pages, SENTINEL)
-
-    def stepA(carry, k):
-        vals, slot, found = carry
-        m = vals.min(axis=-1)                          # (tiles, g, blocks)
-        hit = pages == m[..., None]
-        live = (m != SENTINEL)[..., None]
-        slot = jnp.where(hit & live, k, slot)
-        found = found | (hit & live)
-        vals = jnp.where(hit, SENTINEL, vals)
-        return (vals, slot, found), m
-
-    initA = (valsA, jnp.zeros(pages.shape, jnp.int32),
-             jnp.zeros(pages.shape, bool))
-    (_, slotA, foundA), candA = jax.lax.scan(
-        stepA, initA, jnp.arange(block_cap, dtype=jnp.int32)
+    kernel = functools.partial(_block_cover_kernel, block_cap=block_cap, g=g)
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, blocks, block_cap), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
+        ],
     )
-    candA = jnp.moveaxis(candA, 0, -1)                 # (tiles, g, blocks, B)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, g, blocks, block_cap), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, g, blocks, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(pages, act.astype(jnp.int32))
+
+
+def _pix_match_kernel(slotA_ref, slotB_ref, foundB_ref, slot_out, cov_out, *,
+                      block_cap, g):
+    """pix_slot = slotB[slotA], pix_cov = foundB[slotA] — the per-pixel
+    block->tile rank indirection as a VMEM B-way select (the XLA version
+    streams ~4 GB through HBM at 1080p)."""
+    for gi in range(g):
+        slotA = slotA_ref[0, gi]                       # (blocks, 128)
+        slotB = slotB_ref[0, gi]                       # (blocks, B)
+        foundB = foundB_ref[0, gi] != 0
+        pix_slot = jnp.zeros(slotA.shape, jnp.int32)
+        pix_cov = jnp.zeros(slotA.shape, bool)
+        for b in range(block_cap):
+            m = slotA == b
+            pix_slot = jnp.where(m, slotB[:, b : b + 1], pix_slot)
+            pix_cov = pix_cov | (m & foundB[:, b : b + 1])
+        slot_out[0, gi] = pix_slot
+        cov_out[0, gi] = pix_cov.astype(jnp.int32)
+
+
+def _pix_match_pallas(slotA, slotB, foundB, block_cap, interpret=False):
+    tiles, g, blocks, _ = slotA.shape
+    kernel = functools.partial(_pix_match_kernel, block_cap=block_cap, g=g)
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, block_cap), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, block_cap), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
+        ],
+    )
+    slot, cov = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, g, blocks, 128), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, g, blocks, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(slotA, slotB, foundB.astype(jnp.int32))
+    return slot, cov != 0
+
+
+def _cover_and_match_2level(pages, act, cap, block_cap, kernel=False,
+                            interpret=False):
+    """Two-level distinct-page extraction (see _cover_and_match).
+
+    kernel=True runs the block-level scan and the per-pixel match as Pallas
+    kernels (VMEM-resident; bit-identical outputs — tests/test_texcache.py)."""
+    tiles, g, blocks, _ = pages.shape
+    if kernel:
+        candA, slotA_k = _block_cover_pallas(pages, act, block_cap, interpret)
+        candA = candA.reshape(tiles, g, blocks, block_cap)
+        slotA = slotA_k
+        foundA = slotA_k < block_cap
+    else:
+        valsA = jnp.where(act, pages, SENTINEL)
+
+        def stepA(carry, k):
+            vals, slot, found = carry
+            m = vals.min(axis=-1)                      # (tiles, g, blocks)
+            hit = pages == m[..., None]
+            live = (m != SENTINEL)[..., None]
+            slot = jnp.where(hit & live, k, slot)
+            found = found | (hit & live)
+            vals = jnp.where(hit, SENTINEL, vals)
+            return (vals, slot, found), m
+
+        initA = (valsA, jnp.zeros(pages.shape, jnp.int32),
+                 jnp.zeros(pages.shape, bool))
+        (_, slotA, foundA), candA = jax.lax.scan(
+            stepA, initA, jnp.arange(block_cap, dtype=jnp.int32)
+        )
+        candA = jnp.moveaxis(candA, 0, -1)             # (tiles, g, blocks, B)
 
     # tile level: sort-based distinct extraction over the block candidates
     # (blocks*B elements — 3 short sorts beat a cap-step min-scan ~2x).
@@ -286,12 +402,17 @@ def _cover_and_match_2level(pages, act, cap, block_cap):
 
     # per-pixel result: select its block candidate's tile slot/coverage
     # (B-way select, no large intermediates)
-    pix_slot = jnp.zeros(pages.shape, jnp.int32)
-    pix_cov = jnp.zeros(pages.shape, bool)
-    for b in range(block_cap):
-        m = slotA == b
-        pix_slot = jnp.where(m, slotB[..., b, None], pix_slot)
-        pix_cov = pix_cov | (m & foundB[..., b, None])
+    if kernel:
+        pix_slot, pix_cov = _pix_match_pallas(
+            slotA, slotB, foundB, block_cap, interpret
+        )
+    else:
+        pix_slot = jnp.zeros(pages.shape, jnp.int32)
+        pix_cov = jnp.zeros(pages.shape, bool)
+        for b in range(block_cap):
+            m = slotA == b
+            pix_slot = jnp.where(m, slotB[..., b, None], pix_slot)
+            pix_cov = pix_cov | (m & foundB[..., b, None])
     return page_list, count, pix_slot, pix_cov & foundA & act
 
 
@@ -391,10 +512,12 @@ def sample_atlas_tiled(
     covered (H, W, 5) bool, approx (H, W, 5) bool).
 
     `covered` taps are exact (bit-equal to the XLA sampler); `approx` taps
-    overflowed the tile's page budget and were resolved at the texture's
-    coarsest mip (its average color) instead — the graceful-degradation mode
-    of a real texture cache. Non-covered non-approx active pixels only occur
-    when even the fallback page missed (never, by construction)."""
+    overflowed the tile's page budget — almost all resolve at the texture's
+    coarsest mip (its average color), the graceful-degradation mode of a real
+    texture cache. A tap can additionally overflow the CAP_FB fallback budget
+    (5+ distinct textures in one (tile, slot) group — adversarial content);
+    those taps read the group's first staged fallback page instead. Both
+    kinds are counted in `approx` so the honesty counter never under-reports."""
     height, width = u.shape
     trilinear = filter != "bilinear"
     p = tile_h * tile_w
@@ -434,7 +557,8 @@ def sample_atlas_tiled(
     fb_fx = (u5 - 0.5) - jnp.floor(u5 - 0.5)
     fb_fy = (v5 - 0.5) - jnp.floor(v5 - 0.5)
     fb_list, _, fb_slot, fb_found = _cover_and_match(
-        tile_g(fb_page), act_t, CAP_FB
+        tile_g(fb_page), act_t, CAP_FB, block_cap=CAP_FB,
+        kernel=True, interpret=interpret,
     )
     fb_slot_t, fb_fx_t, fb_fy_t = fb_slot, tile_g(fb_fx), tile_g(fb_fy)
 
@@ -446,7 +570,8 @@ def sample_atlas_tiled(
             base_w, base_h, select_mip(pb, m), m, u5, v5
         )
         page_list, count, slot, found = _cover_and_match(
-            tile_g(page), act_t, cap, block_cap=block_cap
+            tile_g(page), act_t, cap, block_cap=block_cap,
+            kernel=True, interpret=interpret,
         )
         halves.append(
             (page_list, count, slot, tile_g(intra), tile_g(fx), tile_g(fy),
@@ -532,10 +657,8 @@ def sample_atlas_tiled(
     covered = jnp.moveaxis(
         _untile(covered_t, height, width, tile_h, tile_w), 0, -1
     )
-    resolved = jnp.moveaxis(
-        _untile(resolved_t, height, width, tile_h, tile_w), 0, -1
-    )
-    return rgba, covered, resolved & ~covered
+    del resolved_t  # approx must also count fb-budget overflows (see docstring)
+    return rgba, covered, active & ~covered
 
 
 def sample_atlas_textured(

@@ -89,6 +89,11 @@ class DeferredRenderPipeline:
         self.pallas_interpret = pallas_interpret
         self.scene = scene
         self.packed: PackedScene = pack_scene(scene, cfg, atlas_max_dim)
+        if self.packed.config is not None:
+            # adopt the EFFECTIVE config (pools may have auto-grown, with a
+            # warning from pack_scene) so self.config always matches the
+            # actual device pool sizes
+            self.config = cfg = self.packed.config
 
         # ---- precompute passes (once, latched) ----------------------------
         self.brdf_lut = ibl.brdf_lut(size=brdf_lut_size)
@@ -219,6 +224,31 @@ class DeferredRenderPipeline:
             bins = stages.binning(
                 setup, w, h, self.tile_h, self.tile_w, self.bin_cap
             )
+            if self.use_pallas:
+                # fused raster + attribute interpolation: the winning row is
+                # selected inside the depth fold (VMEM), removing the
+                # per-pixel 256 B tri_rows gather; planes match the gather
+                # path to FMA re-association (tests/test_raster_pallas.py)
+                tri_id, depth, planes = stages.rasterize_interp(
+                    setup, bins, env, vattrs, w, h, self.tile_h, self.tile_w,
+                    pallas_interpret=self.pallas_interpret,
+                )
+                gb = gbuffer.gbuffer_shade_planar(
+                    tri_id, depth, planes, env["atlas"], self.texture_filter,
+                    use_tex_kernel=self.use_tex_kernel,
+                    tex_interpret=self.pallas_interpret,
+                )
+                return {
+                    "GBufferA": gb.albedo_emission,
+                    "GBufferB": gb.normal_oct,
+                    "GBufferC": gb.rough_metal_ao,
+                    "GBufferDepthStencil": (gb.depth, gb.mask),
+                    "BinCounts": bins.counts,
+                    "TexApproxCount": (
+                        gb.tex_approx if gb.tex_approx is not None
+                        else jnp.zeros((), jnp.int32)
+                    ),
+                }
             tri_id, depth = stages.rasterize(
                 setup, bins, w, h, self.tile_h, self.tile_w, self.use_pallas,
                 pallas_interpret=self.pallas_interpret,

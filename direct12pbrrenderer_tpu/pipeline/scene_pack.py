@@ -18,6 +18,7 @@ uploaded arrays (matrices + visibility mask), never shapes.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass, replace
 
 import numpy as np
@@ -112,6 +113,10 @@ class PackedScene:
     light_attenuation: np.ndarray  # (L, 4) radius, kc, kl, kq
     light_bounds: np.ndarray  # (L, 2, 3) world AABB (culling radius box)
     light_count: int
+    # the EFFECTIVE config: equals the caller's config unless the scene
+    # outgrew the configured pools (then max_vertices/max_triangles reflect
+    # the actual pool sizes — callers should adopt this one)
+    config: RenderConfig | None = None
 
     def instance_visibility(self, planes: np.ndarray) -> np.ndarray:
         """Frustum visibility per instance (Scene::CullModel analog)."""
@@ -222,10 +227,30 @@ class _AtlasBuilder:
             paged = _page_major(m)
             self.chunks.append(paged)
             self.cursor += paged.shape[0] // PAGE_RECORDS
+        n_real = len(mips)
+        if mips[-1].shape[:2] != (1, 1):
+            # mip chains that stop above 1x1 get a synthetic average-color
+            # page appended PAST the sampled chain (page_base[n_mips] points
+            # here; sampling clamps to n_mips-1 and never sees it). It is the
+            # texture-cache fallback target, which addresses as a 1x1 mip —
+            # without it, overflow taps would read texel (0,0) of a large mip
+            # with wrong bilinear fracs (ops/texcache.fused_tex_table).
+            last = mips[-1][..., 0]
+            avg = np.zeros(4, np.uint64)
+            for c in range(4):
+                avg[c] = ((last >> np.uint32(8 * c)) & np.uint32(0xFF)).mean()
+            avg_u32 = np.uint32(
+                avg[0] | (avg[1] << 8) | (avg[2] << 16) | (avg[3] << 24)
+            )
+            offs.append(self.cursor)
+            page = np.zeros((PAGE_RECORDS, 4), np.uint32)
+            page[0, :] = avg_u32  # all 4 quad entries = avg (1x1 wrap)
+            self.chunks.append(page)
+            self.cursor += 1
         tid = len(self.sizes)
         self.offsets.append(offs)
         self.sizes.append((mips[0].shape[1], mips[0].shape[0]))
-        self.mips.append(len(mips))
+        self.mips.append(n_real)
         self.srgb.append(is_srgb(tex.format))
         self.cache[key] = (tid, tex)
         return tid
@@ -328,11 +353,18 @@ def pack_scene(
     v, t = pos.shape[0], tri.shape[0]
     # the configured limits are pool MINIMUMS; bigger scenes (Sponza-class,
     # 260k+ triangles) auto-grow the static pools to the next 8k multiple —
-    # a per-scene compile-time constant, exactly like sizing a vertex heap
-    if v > config.max_vertices:
-        config = replace(config, max_vertices=-(-v // 8192) * 8192)
-    if t > config.max_triangles:
-        config = replace(config, max_triangles=-(-t // 8192) * 8192)
+    # a per-scene compile-time constant, exactly like sizing a vertex heap.
+    # Growth is surfaced (warning + PackedScene.config) so configured limits
+    # never silently stop bounding memory/compile cost.
+    if v > config.max_vertices or t > config.max_triangles:
+        grown_v = max(config.max_vertices, -(-v // 8192) * 8192)
+        grown_t = max(config.max_triangles, -(-t // 8192) * 8192)
+        logging.getLogger(__name__).warning(
+            "scene exceeds configured pools (vertices %d > %d or triangles "
+            "%d > %d); growing pools to %d vertices / %d triangles",
+            v, config.max_vertices, t, config.max_triangles, grown_v, grown_t,
+        )
+        config = replace(config, max_vertices=grown_v, max_triangles=grown_t)
 
     def pad(a, n, fill=0):
         out = np.full((n, *a.shape[1:]), fill, a.dtype)
@@ -386,4 +418,5 @@ def pack_scene(
         light_attenuation=la,
         light_bounds=lb,
         light_count=len(lights),
+        config=config,
     )

@@ -72,6 +72,36 @@ def rasterize(setup, bins, width: int, band_h: int, tile_h: int, tile_w: int,
     )
 
 
+def pack_rows64(setup, buffers, vattrs):
+    """The (T, 64) per-triangle row shared by both G-buffer paths:
+    [raster row 16 (pack_raster_rows: edges/z/w/id, poisoned when invalid) |
+    ConstantBufferInstance material 16 | vertex attr rows 24 | pad 8] —
+    everything pixel shading needs behind one index. Columns 0:9 are the
+    edge rows gbuffer._bary reads; 9:16 only feed the fused raster kernel."""
+    t = setup.edges.shape[0]
+    return jnp.concatenate(
+        [raster_pallas.pack_raster_rows(setup),
+         buffers["mat_rows"][buffers["tri_material"]],
+         vattrs[buffers["tris"]].reshape(t, 24),
+         jnp.zeros((t, 8), jnp.float32)], axis=1,
+    )
+
+
+def rasterize_interp(setup, bins, buffers, vattrs, width: int, band_h: int,
+                     tile_h: int, tile_w: int, y_offset=0,
+                     pallas_interpret: bool = False):
+    """Fused raster + attribute interpolation (Pallas path): returns
+    (tri_id, depth, planes (24, band_h, width)) with planes matching the
+    tri_rows[tid]-gather path (exact material columns, interp to FMA
+    re-association) — the winning row rides the depth fold's VMEM state
+    instead of a per-pixel 256 B HBM gather (docs/PERF.md round-3)."""
+    rows64 = pack_rows64(setup, buffers, vattrs)
+    return raster_pallas.rasterize_interp_pallas(
+        setup, bins, rows64, width, band_h, tile_h, tile_w,
+        y_offset=y_offset, interpret=pallas_interpret,
+    )
+
+
 def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
                   band_h: int, texture_filter: str, y_offset=0,
                   use_tex_kernel: bool = False,
@@ -80,14 +110,9 @@ def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
     # (edge/bary coefficients, material constants, the 3 vertex attribute
     # rows) -> the per-pixel stage issues ONE gather instead of four
     # (row + tris + 3 vertex rows); per-triangle gathers here are off the
-    # per-pixel hot path
-    t = setup.edges.shape[0]
-    tri_rows = jnp.concatenate(
-        [raster.pack_pixel_data(setup),
-         buffers["mat_rows"][buffers["tri_material"]],
-         vattrs[buffers["tris"]].reshape(t, 24),
-         jnp.zeros((t, 8), jnp.float32)], axis=1,
-    )
+    # per-pixel hot path. The Pallas path avoids even that one gather by
+    # fusing the row select into the raster fold (rasterize_interp).
+    tri_rows = pack_rows64(setup, buffers, vattrs)
     return gbuffer.gbuffer_shade(
         tri_id, depth, tri_rows, buffers["atlas"],
         width, band_h, y_offset=y_offset, texture_filter=texture_filter,

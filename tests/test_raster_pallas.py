@@ -57,6 +57,91 @@ def test_pallas_dynamic_count_correct():
     assert (np.asarray(ids_pl) >= 0).sum() > 0
 
 
+def _rows64(setup, n_tris, seed=0):
+    """Synthetic material + vertex-attr rows for the fused-interp kernel."""
+    rng = np.random.default_rng(seed + 100)
+    t = setup.edges.shape[0]
+    mat = jnp.asarray(rng.uniform(0, 1, (t, 16)).astype(np.float32))
+    vat = jnp.asarray(rng.uniform(-1, 1, (t, 24)).astype(np.float32))
+    return jnp.concatenate(
+        [raster_pallas.pack_raster_rows(setup), mat, vat,
+         jnp.zeros((t, 8), jnp.float32)], axis=1)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_interp_matches_gather_path(seed):
+    """rasterize_interp_pallas planes must equal the tri_rows[tid] gather +
+    gbuffer._bary interpolation exactly (where winner ids agree)."""
+    from direct12pbrrenderer_tpu.ops import gbuffer
+
+    w, h, tile_h, tile_w, cap = 256, 192, 24, 128, 128
+    clip, tris = _scene(300, seed)
+    setup = raster.setup_triangles(clip, tris, jnp.ones(tris.shape[0], bool), w, h)
+    bins = raster.bin_triangles(setup, h // tile_h, w // tile_w, tile_h, tile_w, cap)
+    rows64 = _rows64(setup, tris.shape[0], seed)
+
+    ids_ref, z_ref = raster.rasterize(setup, bins, w, h, tile_h, tile_w)
+    # reference interpolation: the row-gather path from gbuffer_shade
+    tid = jnp.maximum(ids_ref, 0)
+    py, px = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32) + 0.5,
+                          jnp.arange(w, dtype=jnp.float32) + 0.5, indexing="ij")
+    row = rows64[tid]
+    _, lam_p, _ = gbuffer._bary(row, px, py)
+    attrs = row[..., 32:56].reshape(*row.shape[:-1], 3, 8)
+    interp_ref = (attrs * lam_p[..., None]).sum(-2)
+    mat_ref = row[..., 16:32]
+
+    ids_pl, z_pl, planes = raster_pallas.rasterize_interp_pallas(
+        setup, bins, rows64, w, h, tile_h, tile_w, interpret=True
+    )
+    mismatch = np.asarray(ids_pl) != np.asarray(ids_ref)
+    assert mismatch.mean() < 1e-4, f"{mismatch.sum()} id mismatches"
+    agree = ~mismatch & (np.asarray(ids_ref) >= 0)
+    assert agree.sum() > 0
+    interp_pl = np.moveaxis(np.asarray(planes[0:8]), 0, -1)
+    mat_pl = np.moveaxis(np.asarray(planes[8:24]), 0, -1)
+    # interp: FMA re-association only (same formula, different contraction)
+    np.testing.assert_allclose(
+        interp_pl[agree], np.asarray(interp_ref)[agree], rtol=1e-3, atol=1e-4
+    )
+    # material row: an exact one-hot select — bit-equal
+    np.testing.assert_array_equal(mat_pl[agree], np.asarray(mat_ref)[agree])
+    # background pixels carry zero planes (the planar path's convention)
+    bg = np.asarray(ids_pl) < 0
+    if bg.any():
+        assert (interp_pl[bg] == 0).all() and (mat_pl[bg] == 0).all()
+    np.testing.assert_allclose(
+        np.asarray(z_pl)[agree], np.asarray(z_ref)[agree], atol=1e-4
+    )
+
+
+def test_fused_interp_two_pass_hot_tiles():
+    """The hot-tile second pass must alias/overwrite planes consistently."""
+    w, h, tile_h, tile_w, cap = 256, 192, 24, 128, 512
+    clip, tris = _scene(2500, 3)
+    setup = raster.setup_triangles(clip, tris, jnp.ones(tris.shape[0], bool), w, h)
+    bins = raster.bin_triangles(setup, h // tile_h, w // tile_w, tile_h, tile_w, cap)
+    rows64 = _rows64(setup, tris.shape[0], 3)
+    counts = np.asarray(bins.counts)
+    n_over = int((counts > 128).sum())
+    assert n_over > 0
+    ids_ref, _, planes_ref = raster_pallas.rasterize_interp_pallas(
+        setup, bins, rows64, w, h, tile_h, tile_w, interpret=True,
+        cap_small=512, hot_k=0,
+    )
+    ids_pl, _, planes = raster_pallas.rasterize_interp_pallas(
+        setup, bins, rows64, w, h, tile_h, tile_w, interpret=True,
+        cap_small=128, hot_k=max(n_over, 2),
+    )
+    mismatch = np.asarray(ids_pl) != np.asarray(ids_ref)
+    assert mismatch.mean() < 1e-4
+    agree = ~mismatch
+    np.testing.assert_array_equal(
+        np.moveaxis(np.asarray(planes), 0, -1)[agree],
+        np.moveaxis(np.asarray(planes_ref), 0, -1)[agree],
+    )
+
+
 def test_two_pass_hot_tiles_match_xla():
     """cap > cap_small triggers the hot-tile second pass: hot tiles render
     full lists, scattered over the small-cap buffers; when every overfull
