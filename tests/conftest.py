@@ -18,6 +18,58 @@ import pathlib
 
 import pytest
 
+# ---------------------------------------------------------------------------
+# fast/slow split: `pytest -m "not slow"` is the <2-minute core suite (every
+# package module keeps at least one fast test); the full suite (~12 min on an
+# 8-device CPU host) adds the 1080p-class goldens, sharded reference-scene
+# equivalence, and other full-pipeline compiles. Centralized here (not as
+# per-test decorators) so the tier list is auditable in one place.
+# ---------------------------------------------------------------------------
+
+SLOW_MODULES = {
+    "test_golden.py",             # full-pipeline CPU golden renders
+    "test_golden_reference.py",   # reference-scene hero goldens
+    "test_sharded_reference.py",  # 8-device reference-scene equivalence
+}
+
+SLOW_TESTS = {
+    "test_import_e2e.py::test_imported_model_renders",
+    "test_sharded.py::test_sharded_with_cache_kernels_matches_single_chip",
+    "test_sharded.py::test_sharded_matches_single_chip",
+    "test_pipeline.py::test_kernel_paths_match_xla_paths",
+    "test_pipeline.py::test_tex_approx_stat_surfaced",
+    "test_pipeline.py::test_renders_lit_sphere",
+    "test_texcache.py::test_textured_covered_exact_overflow_approximated",
+    "test_texcache.py::test_two_level_cover_on_coherent_content",
+    "test_texcache.py::test_tiled_matches_raw_sampler[trilinear]",
+    "test_texcache.py::test_wrap_seam_and_mip_clamp",
+    "test_texcache.py::test_anisotropic_beats_trilinear_at_grazing",
+    "test_scale.py::test_stress_scene_pools_autogrow_and_bin_1080p",
+    "test_assets.py::test_scene_json_loads",
+    "test_interp_pallas.py::test_interp_matches_xla_barycentrics",
+    "test_raster_pallas.py::test_fused_interp_two_pass_hot_tiles",
+    "test_raster.py::test_hierarchical_binning_matches_flat",
+    "test_envcache.py::test_env_tiled_matches_xla_samplers",
+    "test_postprocess.py::test_bloom_shapes_and_sanity[hw1]",
+    "test_postprocess.py::test_bloom_shapes_and_sanity[hw2]",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-pipeline / large-shape tests (excluded from "
+        "the <2-minute core suite; run the full suite before release)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.fspath.basename
+        key = f"{mod}::{item.name}"
+        if mod in SLOW_MODULES or key in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+
+
 REFERENCE_ASSETS = pathlib.Path("/root/reference/DeferredRendering")
 
 
