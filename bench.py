@@ -91,6 +91,12 @@ def main():
             result.update(_stress_bench(args))
         except Exception as e:  # secondary metric must never kill the bench
             result["sponza_class_error"] = repr(e)[:200]
+        # secondary: the reference's 1024-light clustered capacity
+        # (DeferredPipeline.h:326-330; BASELINE milestone 5)
+        try:
+            result.update(_lights1k_bench(args))
+        except Exception as e:
+            result["lights1k_error"] = repr(e)[:200]
 
     print(json.dumps(result))
     return result
@@ -122,6 +128,39 @@ def _stress_bench(args, frames: int = 4):
         "sponza_class_fps": round(fps, 3),
         "sponza_class_triangles": 512 * 256 * 2,
         "sponza_class_bin_overflow": int(overflow),
+    }
+
+
+def _lights1k_bench(args, frames: int = 4):
+    """1024 scattered point lights @1080p via the tile-clustered Pallas
+    kernel (ops/lights_pallas) — cost O(lights per tile), not O(1024)."""
+    from direct12pbrrenderer_tpu.config import RenderConfig
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.scene.camera import Camera
+    from direct12pbrrenderer_tpu.tools.stress_scene import build_stress_scene
+
+    scene = build_stress_scene(cells_x=128, cells_y=64, n_lights=1024)
+    cfg = RenderConfig(width=args.width, height=args.height, max_instances=2,
+                       max_lights=1024)
+    pipe = DeferredRenderPipeline(
+        scene, cfg, tile_h=24, tile_w=128, bin_cap=2048, atlas_max_dim=256,
+        max_active_lights=1024,
+    )
+    cam = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+    cam.move([0, 6, 18])
+    cam.rotate(0, np.pi, 0.35)
+    np.asarray(pipe.render(cam))  # compile + stats
+    stats = pipe.last_stats
+    t0 = time.perf_counter()
+    img = None
+    for _ in range(frames):
+        img = pipe.render(cam, 1.0 / 60.0, collect_stats=False)
+    np.asarray(img)
+    fps = frames / (time.perf_counter() - t0)
+    return {
+        "lights1k_fps": round(fps, 3),
+        "lights1k_visible": stats.visible_lights if stats else -1,
+        "lights1k_tile_overflow": stats.light_tile_overflow if stats else -1,
     }
 
 

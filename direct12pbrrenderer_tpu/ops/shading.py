@@ -60,7 +60,8 @@ def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0, full_heig
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "fov", "ratio", "near", "far",
-                     "full_height", "env_ids", "env_tile", "env_interpret"),
+                     "full_height", "env_ids", "env_tile", "env_interpret",
+                     "light_tile", "light_cap"),
 )
 def deferred_shade(
     gb_albedo_emission,   # (H, W, 4)
@@ -84,6 +85,10 @@ def deferred_shade(
     env_ids: tuple | None = None,  # (env_base, sky_base, lut_tid, env_mips)
     env_tile: tuple | None = None,
     env_interpret: bool = False,
+    light_tile: tuple | None = None,   # (tile_h, tile_w): use the Pallas
+    # tile-clustered light kernel (ops/lights_pallas) — O(lights per tile)
+    # instead of O(N_active) full-frame fori steps; the 1024-light path
+    light_cap: int = 256,
 ):
     albedo = gb_albedo_emission[..., :3]
     emission = gb_albedo_emission[..., 3]
@@ -255,6 +260,28 @@ def deferred_shade(
          jnp.maximum(jnp.maximum(ya, yb), jnp.maximum(yc, yd)),
          zfar_c], -1,
     )
+
+    if light_tile is not None:
+        # 1024-light operating point: tile-clustered Pallas kernel, cost
+        # O(lights overlapping tile) instead of O(N_active) frame sweeps.
+        # Same cluster membership / light order / cap-32 counter semantics
+        # as the fori path below (tested vs it at 128 lights). Reuses
+        # env_interpret as the CPU-test interpret flag.
+        from . import lights_pallas
+
+        point_light, _ = lights_pallas.point_lights_tiled(
+            active_lights, albedo, normal, roughness, metallic,
+            z_view, mask, inv_view, camera_pos,
+            fov, ratio, near, far, width, height,
+            tile_h=light_tile[0], tile_w=light_tile[1],
+            y_offset=y_offset, full_height=full_height, cap=light_cap,
+            interpret=env_interpret,
+        )
+        emission_lum = albedo * emission[..., None]
+        lit = env_diffuse + env_specular + point_light + emission_lum
+        if sky is None:
+            sky = common._cube_atlas_bilinear(skybox, ray, jnp.int32(0))[..., :3]
+        return jnp.where(mask[..., None], lit, sky)
 
     # dynamic trip count: padded rows (cull_r = 0) contribute nothing, so we
     # only iterate over lights that are actually present this frame

@@ -45,6 +45,8 @@ class FrameStats:
     visible_lights: int
     bin_overflow: int = 0
     tex_approx_taps: int = 0  # cache-kernel taps resolved via fallback
+    lights_truncated: int = 0  # visible lights beyond max_active_lights
+    light_tile_overflow: int = 0  # per-tile culled lights beyond light_cap
 
 
 class DeferredRenderPipeline:
@@ -64,6 +66,8 @@ class DeferredRenderPipeline:
         texture_filter: str = "trilinear",
         max_active_lights: int = 64,
         pallas_interpret: bool = False,
+        light_tile: tuple | None = None,
+        light_cap: int | None = None,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -74,6 +78,18 @@ class DeferredRenderPipeline:
             )
         self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
         self.max_active_lights = max_active_lights
+        # 1024-light operating point: with many active lights the O(N_active)
+        # full-frame fori sweep is hopeless; switch to the tile-clustered
+        # Pallas kernel (ops/lights_pallas) whose cost is O(lights per tile).
+        use_pallas_backend = jax.default_backend() not in ("cpu",)
+        if light_tile is None and max_active_lights > 64 and (
+            use_pallas if use_pallas is not None else use_pallas_backend
+        ):
+            light_tile = (tile_h, tile_w)
+        self.light_tile = light_tile
+        if light_cap is None:
+            light_cap = max(128, -(-min(max_active_lights, 1024) // 128) * 128)
+        self.light_cap = light_cap
         self.use_pallas_interp = use_pallas_interp
         self.texture_filter = texture_filter
         if use_pallas is None:
@@ -300,8 +316,22 @@ class DeferredRenderPipeline:
                 env_ids=self.env_ids,
                 env_tile=self.env_tile if self.env_ids is not None else None,
                 env_interpret=self.pallas_interpret,
+                light_tile=self.light_tile, light_cap=self.light_cap,
             )
-            return {"DeferredShadingRT": rt}
+            if self.light_tile is not None:
+                # per-tile culled-light counts for the truncation stat (XLA
+                # CSEs this with the identical cull inside the light kernel)
+                from ..ops import lights_pallas
+
+                th, tw = self.light_tile
+                _, counts = lights_pallas.tile_light_lists(
+                    active, h // th, w // tw, th, tw, w, h,
+                    cfg.fov, cfg.ratio, cfg.near, cfg.far, self.light_cap,
+                )
+                trunc = jnp.maximum(counts - self.light_cap, 0).max()
+            else:
+                trunc = jnp.zeros((), jnp.int32)
+            return {"DeferredShadingRT": rt, "LightTruncCount": trunc}
 
         def skybox_pass(env):
             # composited inside deferred_shade (sky where stencil==0); the
@@ -335,7 +365,8 @@ class DeferredRenderPipeline:
         def present_pass(env):
             rgb8 = (env["ToneMappedTexture"] * 255.0 + 0.5).astype(jnp.uint8)
             return {"BackBuffer": (rgb8, env["AverageLuminance"],
-                                   env["BinCounts"], env["TexApproxCount"])}
+                                   env["BinCounts"], env["TexApproxCount"],
+                                   env["LightTruncCount"])}
 
         static_reads = tuple(self.buffers.keys())
         passes = [
@@ -367,7 +398,7 @@ class DeferredRenderPipeline:
                  "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
                  "FrustumCluster", "InvView", "CameraPos")
                 + (("EnvCache",) if self.env_ids is not None else ()),
-                ("DeferredShadingRT",),
+                ("DeferredShadingRT", "LightTruncCount"),
                 deferred_pass,
                 declares={
                     "GBufferA": fg.ResourceDesc((h, w, 4), "float32"),
@@ -401,7 +432,7 @@ class DeferredRenderPipeline:
             fg.RenderPass(
                 "Present",
                 ("ToneMappedTexture", "AverageLuminance", "BinCounts",
-                 "TexApproxCount"),
+                 "TexApproxCount", "LightTruncCount"),
                 ("BackBuffer",),
                 present_pass,
             ),
@@ -471,7 +502,7 @@ class DeferredRenderPipeline:
             np.float32([delta_time]),
             visible.astype(np.float32), lights.astype(np.float32),
         ]).astype(np.float32)
-        rgb8, avg, bin_counts, tex_approx = self._frame_jit(
+        rgb8, avg, bin_counts, tex_approx, light_trunc = self._frame_jit(
             self.buffers,
             jnp.asarray(frame_f32),
             self.avg_luminance,
@@ -494,11 +525,22 @@ class DeferredRenderPipeline:
                         int(np.maximum(over[:-hot_k] - cap_small, 0).max())
                         if hot_k else int((over - cap_small).max()),
                     )
+            n_vis_lights = int(lights.sum())
             self.last_stats = FrameStats(
                 visible_instances=int(visible.sum()),
                 total_instances=p.instance_count,
-                visible_lights=int(lights.sum()),
+                visible_lights=n_vis_lights,
                 bin_overflow=overflow,
                 tex_approx_taps=int(tex_approx),
+                lights_truncated=max(0, n_vis_lights - self.max_active_lights),
+                light_tile_overflow=int(light_trunc),
             )
+            if self.last_stats.lights_truncated:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "%d visible lights exceed max_active_lights=%d; excess "
+                    "lights are dropped (raise max_active_lights)",
+                    n_vis_lights, self.max_active_lights,
+                )
         return rgb8

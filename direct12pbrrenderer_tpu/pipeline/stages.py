@@ -133,7 +133,9 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
                    full_height: int | None = None,
                    env_ids: tuple | None = None,
                    env_tile: tuple | None = None,
-                   env_interpret: bool = False):
+                   env_interpret: bool = False,
+                   light_tile: tuple | None = None,
+                   light_cap: int = 256):
     return shading.deferred_shade(
         gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth,
         gb.mask, buffers["SkyBoxSH"], buffers["PrecomputeBRDF"],
@@ -143,4 +145,5 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
         width, band_h, y_offset=y_offset, full_height=full_height,
         env_cache=buffers.get("EnvCache") if env_ids is not None else None,
         env_ids=env_ids, env_tile=env_tile, env_interpret=env_interpret,
+        light_tile=light_tile, light_cap=light_cap,
     )

@@ -95,17 +95,36 @@ def profile_pipeline(pipe, camera, iters: int = 5):
     binf = lambda s: stages.binning(s, w, h, pipe.tile_h, pipe.tile_w, pipe.bin_cap)
     bins = run("binning", binf, setup)
 
-    rastf = lambda s, b: stages.rasterize(
-        s, b, w, h, pipe.tile_h, pipe.tile_w, pipe.use_pallas,
-        pallas_interpret=pipe.pallas_interpret,
-    )
-    tri_id, depth = run("raster", rastf, setup, bins)
+    if pipe.use_pallas:
+        # the pipeline's actual hot path: fused raster + interpolation
+        # (winning row selected in the depth fold), then planar G-buffer
+        from ..ops import gbuffer as gbuffer_ops
 
-    gbf = lambda t, d, s, b, va: stages.gbuffer_shade(
-        t, d, s, b, va, w, h, texture_filter=pipe.texture_filter,
-        use_tex_kernel=getattr(pipe, "use_tex_kernel", False),
-    )
-    gb = run("gbuffer_shade", gbf, tri_id, depth, setup, buffers, vattrs)
+        rastf = lambda s, b, bu, va: stages.rasterize_interp(
+            s, b, bu, va, w, h, pipe.tile_h, pipe.tile_w,
+            pallas_interpret=pipe.pallas_interpret,
+        )
+        tri_id, depth, planes = run(
+            "raster", rastf, setup, bins, buffers, vattrs
+        )
+
+        gbf = lambda t, d, p, b: gbuffer_ops.gbuffer_shade_planar(
+            t, d, p, b["atlas"], pipe.texture_filter,
+            use_tex_kernel=getattr(pipe, "use_tex_kernel", False),
+        )
+        gb = run("gbuffer_shade", gbf, tri_id, depth, planes, buffers)
+    else:
+        rastf = lambda s, b: stages.rasterize(
+            s, b, w, h, pipe.tile_h, pipe.tile_w, pipe.use_pallas,
+            pallas_interpret=pipe.pallas_interpret,
+        )
+        tri_id, depth = run("raster", rastf, setup, bins)
+
+        gbf = lambda t, d, s, b, va: stages.gbuffer_shade(
+            t, d, s, b, va, w, h, texture_filter=pipe.texture_filter,
+            use_tex_kernel=getattr(pipe, "use_tex_kernel", False),
+        )
+        gb = run("gbuffer_shade", gbf, tri_id, depth, setup, buffers, vattrs)
 
     lightf = lambda b, lv, v: stages.active_lights(b, lv, v, pipe.max_active_lights)
     active = run("light_cull", lightf, buffers, light_valid, view_j)

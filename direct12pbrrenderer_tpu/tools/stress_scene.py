@@ -115,6 +115,26 @@ def build_stress_scene(cells_x: int = 512, cells_y: int = 256,
     sm.local_bound_min, sm.local_bound_max = model.bound
     scene.add_model(sm)
 
+    if n_lights > 64:
+        # 1024-light operating point (DeferredPipeline.h:326-330): small
+        # scattered lights on a jittered grid over the terrain, the workload
+        # clustered shading is designed for (each cluster sees a handful,
+        # <=32 cap rarely binds)
+        rng = np.random.default_rng(11)
+        side = int(np.ceil(np.sqrt(n_lights)))
+        for i in range(n_lights):
+            gx, gy = i % side, i // side
+            px = (gx + rng.uniform(0.2, 0.8)) / side * 36.0 - 18.0
+            pz = (gy + rng.uniform(0.2, 0.8)) / side * 36.0 - 18.0
+            light = SceneLight(f"grid{i}")
+            light.translation = np.array(
+                [px, rng.uniform(0.5, 2.0), pz], np.float32)
+            light.update_transform()
+            light.color = rng.uniform(0.3, 1.0, 3).astype(np.float32)
+            light.set_intensity(3.0)
+            light.set_radius(0.6)
+            scene.add_light(light)
+        return scene
     for i in range(n_lights):
         a = 2 * np.pi * i / n_lights
         light = SceneLight(f"ring{i}")
