@@ -58,7 +58,7 @@ def tile_light_lists(
     tiles_x: int,
     tile_h: int,
     tile_w: int,
-    width: int,
+    full_width: int,
     full_height: int,
     fov: float,
     ratio: float,
@@ -82,8 +82,8 @@ def tile_light_lists(
     # tile -> cluster index ranges (pixel centers)
     tx0 = (jnp.arange(tiles_x) * tile_w).astype(jnp.float32)
     ty0 = (jnp.arange(tiles_y) * tile_h).astype(jnp.float32) + y_offset
-    u_lo = (tx0 + 0.5) / width
-    u_hi = (tx0 + tile_w - 0.5) / width
+    u_lo = (tx0 + 0.5) / full_width
+    u_hi = (tx0 + tile_w - 0.5) / full_width
     v_lo = (ty0 + 0.5) / full_height
     v_hi = (ty0 + tile_h - 0.5) / full_height
     sx_lo = jnp.clip(jnp.floor(u_lo * CLUSTER_X), 0, CLUSTER_X - 1)
@@ -325,7 +325,8 @@ def _kernel(counts_ref, const_ref, rows_ref, gb_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "fov", "ratio",
-                     "near", "far", "full_height", "cap", "interpret"),
+                     "near", "far", "full_height", "full_width", "cap",
+                     "interpret"),
 )
 def point_lights_tiled(
     rows,          # (N, 14) active-light rows
@@ -342,6 +343,7 @@ def point_lights_tiled(
     tile_h: int = 24, tile_w: int = 128,
     y_offset=0,
     full_height: int | None = None,
+    full_width: int | None = None,
     cap: int = 256,
     interpret: bool = False,
 ):
@@ -351,13 +353,14 @@ def point_lights_tiled(
     cap-32 counter) to fp32 re-association; cost O(lights per tile). counts
     are the per-tile culled light counts (> cap = truncation, surface it)."""
     fh = full_height if full_height is not None else height
+    fw = full_width if full_width is not None else width
     tiles_y, tiles_x = height // tile_h, width // tile_w
     num_tiles = tiles_y * tiles_x
     p = tile_h * tile_w
     assert cap % CHUNK == 0
 
     ids, counts = tile_light_lists(
-        rows, tiles_y, tiles_x, tile_h, tile_w, width, fh,
+        rows, tiles_y, tiles_x, tile_h, tile_w, fw, fh,
         fov, ratio, near, far, cap, y_offset=y_offset,
     )
 
@@ -388,7 +391,7 @@ def point_lights_tiled(
         camera_pos.astype(jnp.float32),
         jnp.asarray([y_offset], jnp.float32).reshape(1),
         r.reshape(9).astype(jnp.float32),
-        jnp.asarray([width, fh, math.log(far / near), far / near],
+        jnp.asarray([fw, fh, math.log(far / near), far / near],
                     jnp.float32),
         jnp.zeros((11,), jnp.float32),
     ])

@@ -30,19 +30,26 @@ def view_space_depth(ndc_depth, near, far):
     return near * far / (far - ndc_depth * (far - near))
 
 
-def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0, full_height=None):
+def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0,
+                full_height=None, full_width=None):
     """Per-pixel world-space camera->near-plane vectors.
 
     Generalizes the reference's triangle-corner interpolation trick
     (deferred_shading.hlsl:95-121): camera_vec is linear in uv, so evaluate
     it directly per pixel: ((u-0.5)*w, (0.5-v)*h, near) rotated to world.
+    (width, height) is the raster canvas; (full_width, full_height) the
+    logical viewport the projection maps to — they differ for row-band
+    sharding (y_offset/full_height) and for pad-to-tile rendering at
+    arbitrary resolutions (padded pixels get u,v beyond [0,1], i.e. rays
+    continuing past the frustum edge, and are cropped before present).
     """
     near_h = 2.0 * near * jnp.tan(fov / 2.0)
     near_w = near_h * ratio
     fh = full_height if full_height is not None else height
+    fw = full_width if full_width is not None else width
     v, u = jnp.meshgrid(
         (jnp.arange(height, dtype=jnp.float32) + 0.5 + y_offset) / fh,
-        (jnp.arange(width, dtype=jnp.float32) + 0.5) / width,
+        (jnp.arange(width, dtype=jnp.float32) + 0.5) / fw,
         indexing="ij",
     )
     cam = jnp.stack(
@@ -60,8 +67,8 @@ def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0, full_heig
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "fov", "ratio", "near", "far",
-                     "full_height", "env_ids", "env_tile", "env_interpret",
-                     "light_tile", "light_cap"),
+                     "full_height", "full_width", "env_ids", "env_tile",
+                     "env_interpret", "light_tile", "light_cap"),
 )
 def deferred_shade(
     gb_albedo_emission,   # (H, W, 4)
@@ -81,6 +88,7 @@ def deferred_shade(
     height: int,
     y_offset=0,
     full_height: int | None = None,
+    full_width: int | None = None,
     env_cache=None,          # envcache.FloatAtlas (kernel path), or None
     env_ids: tuple | None = None,  # (env_base, sky_base, lut_tid, env_mips)
     env_tile: tuple | None = None,
@@ -97,7 +105,8 @@ def deferred_shade(
     metallic = gb_rough_metal_ao[..., 1]
     # ao = gb_rough_metal_ao[..., 2]  # sampled but unused — reference quirk
 
-    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near, y_offset, full_height)
+    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near, y_offset,
+                          full_height, full_width)
     z_view = view_space_depth(depth, near, far)
     position = camera_pos[None, None, :] + cam_vec * (z_view / near)[..., None]
     view_dir = camera_pos[None, None, :] - position
@@ -215,7 +224,8 @@ def deferred_shade(
     import math
 
     fh = full_height if full_height is not None else height
-    u = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
+    fw = full_width if full_width is not None else width
+    u = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / fw
     v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y_offset) / fh
     # per-pixel cluster AABB in closed form (clustered_compute.hlsl:21-42
     # evaluated directly) — zero table fetches (random gathers cost ~25ns each
@@ -274,7 +284,8 @@ def deferred_shade(
             z_view, mask, inv_view, camera_pos,
             fov, ratio, near, far, width, height,
             tile_h=light_tile[0], tile_w=light_tile[1],
-            y_offset=y_offset, full_height=full_height, cap=light_cap,
+            y_offset=y_offset, full_height=full_height,
+            full_width=full_width, cap=light_cap,
             interpret=env_interpret,
         )
         emission_lum = albedo * emission[..., None]

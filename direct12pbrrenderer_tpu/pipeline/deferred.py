@@ -71,11 +71,13 @@ class DeferredRenderPipeline:
     ):
         self.config = config or RenderConfig()
         cfg = self.config
-        if cfg.width % tile_w or cfg.height % tile_h:
-            raise ValueError(
-                f"resolution {cfg.width}x{cfg.height} not divisible by tile "
-                f"{tile_w}x{tile_h}"
-            )
+        # arbitrary resolutions (the reference renders at any window size,
+        # App.h:77-78): the raster canvas pads up to the tile grid; padded
+        # pixels are off-viewport (u,v beyond [0,1] -> rays past the frustum
+        # edge) and the RT is cropped back before the post chain, so bloom /
+        # exposure / tonemap see exactly the logical frame
+        self.render_w = -(-cfg.width // tile_w) * tile_w
+        self.render_h = -(-cfg.height // tile_h) * tile_h
         self.tile_h, self.tile_w, self.bin_cap = tile_h, tile_w, bin_cap
         self.max_active_lights = max_active_lights
         # 1024-light operating point: with many active lights the O(N_active)
@@ -100,7 +102,8 @@ class DeferredRenderPipeline:
         from ..ops import texcache as _texcache
 
         self.use_tex_kernel = (
-            use_tex_kernel and _texcache.pick_tile(cfg.height, cfg.width) is not None
+            use_tex_kernel
+            and _texcache.pick_tile(self.render_h, self.render_w) is not None
         )
         self.pallas_interpret = pallas_interpret
         self.scene = scene
@@ -164,7 +167,7 @@ class DeferredRenderPipeline:
                 scene.skybox is not None and scene.skybox.cubemap is not None
             )
             self.env_ids = (env_base, sky_base, lut_tid, len(pf_np), has_env)
-            self.env_tile = _envcache.pick_tile(cfg.height, cfg.width)
+            self.env_tile = _envcache.pick_tile(self.render_h, self.render_w)
 
         self.cluster_bounds = jnp.asarray(
             clustered.cluster_bounds(cfg.fov, cfg.ratio, cfg.near, cfg.far)
@@ -223,7 +226,8 @@ class DeferredRenderPipeline:
     # ------------------------------------------------------------------
     def _build_graph(self) -> fg.CompiledGraph:
         cfg = self.config
-        w, h = cfg.width, cfg.height
+        w, h = cfg.width, cfg.height          # logical viewport
+        rw, rh = self.render_w, self.render_h  # padded raster canvas
 
         def clustered_pass(env):
             active = stages.active_lights(
@@ -238,7 +242,7 @@ class DeferredRenderPipeline:
                 env["InstanceVisible"], env["ViewProj"], w, h,
             )
             bins = stages.binning(
-                setup, w, h, self.tile_h, self.tile_w, self.bin_cap
+                setup, rw, rh, self.tile_h, self.tile_w, self.bin_cap
             )
             if self.use_pallas:
                 # fused raster + attribute interpolation: the winning row is
@@ -246,7 +250,7 @@ class DeferredRenderPipeline:
                 # per-pixel 256 B tri_rows gather; planes match the gather
                 # path to FMA re-association (tests/test_raster_pallas.py)
                 tri_id, depth, planes = stages.rasterize_interp(
-                    setup, bins, env, vattrs, w, h, self.tile_h, self.tile_w,
+                    setup, bins, env, vattrs, rw, rh, self.tile_h, self.tile_w,
                     pallas_interpret=self.pallas_interpret,
                 )
                 gb = gbuffer.gbuffer_shade_planar(
@@ -266,7 +270,7 @@ class DeferredRenderPipeline:
                     ),
                 }
             tri_id, depth = stages.rasterize(
-                setup, bins, w, h, self.tile_h, self.tile_w, self.use_pallas,
+                setup, bins, rw, rh, self.tile_h, self.tile_w, self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
             )
             if self.use_pallas_interp:
@@ -279,7 +283,7 @@ class DeferredRenderPipeline:
                     setup, vattrs, env["tris"], env["mat_rows"], env["tri_material"]
                 )
                 planes = interp_pallas.interpolate_pallas(
-                    tri_id, rows64, bins, w, h, self.tile_h, self.tile_w
+                    tri_id, rows64, bins, rw, rh, self.tile_h, self.tile_w
                 )
                 gb = gbuffer.gbuffer_shade_planar(
                     tri_id, depth, planes, env["atlas"], self.texture_filter,
@@ -288,7 +292,7 @@ class DeferredRenderPipeline:
                 )
             else:
                 gb = stages.gbuffer_shade(
-                    tri_id, depth, setup, env, vattrs, w, h,
+                    tri_id, depth, setup, env, vattrs, rw, rh,
                     texture_filter=self.texture_filter,
                     use_tex_kernel=self.use_tex_kernel,
                     tex_interpret=self.pallas_interpret,
@@ -312,12 +316,15 @@ class DeferredRenderPipeline:
                 env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask
             )
             rt = stages.deferred_shade(
-                gb, env, active, env["InvView"], env["CameraPos"], cfg, w, h,
+                gb, env, active, env["InvView"], env["CameraPos"], cfg,
+                rw, rh, full_height=h, full_width=w,
                 env_ids=self.env_ids,
                 env_tile=self.env_tile if self.env_ids is not None else None,
                 env_interpret=self.pallas_interpret,
                 light_tile=self.light_tile, light_cap=self.light_cap,
             )
+            if (rw, rh) != (w, h):
+                rt = rt[:h, :w]  # crop the pad-to-tile canvas
             if self.light_tile is not None:
                 # per-tile culled-light counts for the truncation stat (XLA
                 # CSEs this with the identical cull inside the light kernel)
@@ -325,7 +332,7 @@ class DeferredRenderPipeline:
 
                 th, tw = self.light_tile
                 _, counts = lights_pallas.tile_light_lists(
-                    active, h // th, w // tw, th, tw, w, h,
+                    active, rh // th, rw // tw, th, tw, w, h,
                     cfg.fov, cfg.ratio, cfg.near, cfg.far, self.light_cap,
                 )
                 trunc = jnp.maximum(counts - self.light_cap, 0).max()
@@ -387,9 +394,9 @@ class DeferredRenderPipeline:
                  "BinCounts", "TexApproxCount"),
                 gbuffer_pass,
                 declares={
-                    "GBufferA": fg.ResourceDesc((h, w, 4), "float32"),
-                    "GBufferB": fg.ResourceDesc((h, w, 2), "float32"),
-                    "GBufferC": fg.ResourceDesc((h, w, 3), "float32"),
+                    "GBufferA": fg.ResourceDesc((rh, rw, 4), "float32"),
+                    "GBufferB": fg.ResourceDesc((rh, rw, 2), "float32"),
+                    "GBufferC": fg.ResourceDesc((rh, rw, 3), "float32"),
                 },
             ),
             fg.RenderPass(
@@ -401,9 +408,9 @@ class DeferredRenderPipeline:
                 ("DeferredShadingRT", "LightTruncCount"),
                 deferred_pass,
                 declares={
-                    "GBufferA": fg.ResourceDesc((h, w, 4), "float32"),
-                    "GBufferB": fg.ResourceDesc((h, w, 2), "float32"),
-                    "GBufferC": fg.ResourceDesc((h, w, 3), "float32"),
+                    "GBufferA": fg.ResourceDesc((rh, rw, 4), "float32"),
+                    "GBufferB": fg.ResourceDesc((rh, rw, 2), "float32"),
+                    "GBufferC": fg.ResourceDesc((rh, rw, 3), "float32"),
                     "DeferredShadingRT": fg.ResourceDesc((h, w, 3), "float32"),
                 },
             ),

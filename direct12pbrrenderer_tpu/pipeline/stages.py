@@ -131,6 +131,7 @@ def active_lights(buffers, light_valid, view, max_active: int):
 def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
                    config, width: int, band_h: int, y_offset=0,
                    full_height: int | None = None,
+                   full_width: int | None = None,
                    env_ids: tuple | None = None,
                    env_tile: tuple | None = None,
                    env_interpret: bool = False,
@@ -143,6 +144,7 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
         buffers["ClusterBoundsT"], active, inv_view, camera_pos,
         config.fov, config.ratio, config.near, config.far,
         width, band_h, y_offset=y_offset, full_height=full_height,
+        full_width=full_width,
         env_cache=buffers.get("EnvCache") if env_ids is not None else None,
         env_ids=env_ids, env_tile=env_tile, env_interpret=env_interpret,
         light_tile=light_tile, light_cap=light_cap,

@@ -172,3 +172,49 @@ def test_tex_approx_stat_surfaced(camera):
     )
     kpipe.render(camera)
     assert kpipe.last_stats.tex_approx_taps >= 0  # present and integer
+
+
+def test_arbitrary_resolution_pad_and_crop():
+    """Any width x height renders (the reference renders at any window size,
+    App.h:77-78): the raster canvas pads to the tile grid and the RT is
+    cropped before post. A non-divisible-width pipeline must agree with the
+    divisible-path render of the same logical frame."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.config import RenderConfig
+
+    scene = build_scene()
+    cfg = RenderConfig(width=320, height=240, max_triangles=2048,
+                       max_vertices=2048, max_instances=4, max_lights=16)
+    cam = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+    cam.move([0, 0, 4])
+    cam.rotate(0, np.pi, 0)
+
+    def render(tile_h, tile_w):
+        pipe = DeferredRenderPipeline(
+            scene, cfg, tile_h=tile_h, tile_w=tile_w, bin_cap=256,
+            prefilter_size=16, brdf_lut_size=32,
+        )
+        return np.asarray(pipe.render(cam)).astype(int)
+
+    ref = render(60, 160)        # 320x240 divides exactly
+    padded = render(48, 128)     # width pads 320 -> 384, cropped back
+    assert padded.shape == (240, 320, 3)
+    # identical frame up to texture-LOD quad derivatives at the crop
+    # boundary (the padded canvas extends the last derivative quad)
+    assert np.abs(padded - ref).max() <= 2
+    assert np.mean(np.abs(padded - ref) > 1) < 0.001
+
+    # fully odd size end-to-end (pads in both axes)
+    cfg_odd = RenderConfig(width=317, height=233, max_triangles=2048,
+                           max_vertices=2048, max_instances=4, max_lights=16)
+    cam_odd = Camera(cfg_odd.fov, cfg_odd.width, cfg_odd.height,
+                     cfg_odd.near, cfg_odd.far)
+    cam_odd.move([0, 0, 4])
+    cam_odd.rotate(0, np.pi, 0)
+    pipe = DeferredRenderPipeline(
+        scene, cfg_odd, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+    )
+    img = np.asarray(pipe.render(cam_odd))
+    assert img.shape == (233, 317, 3)
+    assert img[60:180, 80:240].mean() > 5  # sphere visible
