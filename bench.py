@@ -34,6 +34,10 @@ def main():
         "--smoke", action="store_true",
         help="tiny synthetic scene + small frame (CI / CPU smoke run)",
     )
+    ap.add_argument(
+        "--skip-secondary", action="store_true",
+        help="headline metric only (skip the sponza-class + 1k-light runs)",
+    )
     args = ap.parse_args()
 
     if args.smoke:
@@ -84,7 +88,7 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }
 
-    if not args.smoke:
+    if not args.smoke and not args.skip_secondary:
         # secondary: the north-star Sponza-CLASS density (262k-triangle
         # terrain, tests/test_scale.py's scene) at the same resolution
         try:
