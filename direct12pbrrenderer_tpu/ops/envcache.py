@@ -350,7 +350,8 @@ def sample_env_tiled(
     else:
         cap_arg = caps
     page_list, count, slot, found = _cover_and_match(
-        tile_g(page), act_t, cap_arg, block_cap=block_cap
+        tile_g(page), act_t, cap_arg, block_cap=block_cap,
+        kernel=block_cap is not None, interpret=interpret,
     )
 
     # shared covers: a trilinear tap is exact only if every half covered
