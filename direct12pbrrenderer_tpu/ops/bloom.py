@@ -113,26 +113,49 @@ def prefilter(img, out_h: int, out_w: int):
     return total / jnp.maximum(weight, 1e-20)
 
 
-def bloom(hdr):
-    """Full bloom chain; hdr (H, W, 3) -> (H, W, 3) with bloom added."""
+def bloom(hdr, row_sharding=None):
+    """Full bloom chain; hdr (H, W, 3) -> (H, W, 3) with bloom added.
+
+    row_sharding: optional `jax.sharding.NamedSharding` over the row axis
+    (PartitionSpec("sp",)). When given, pyramid levels big enough to split
+    are annotated with it so GSPMD keeps the heavy full-/half-res blurs
+    row-parallel across the mesh (auto-inserting the 4-row blur halos as
+    collective-permutes); small deep mips are annotated replicated — they
+    are <1% of the pixel work and sharding them would make the halo wider
+    than the shard. The math is identical either way."""
     h, w = hdr.shape[0], hdr.shape[1]
+
+    if row_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_dev = row_sharding.mesh.shape[row_sharding.spec[0]]
+        rep = NamedSharding(row_sharding.mesh, PartitionSpec())
+
+        def cst(x):
+            # shard only when every shard keeps >= 16 rows (blur halo is 4)
+            if x.shape[0] // n_dev >= 16:
+                return jax.lax.with_sharding_constraint(x, row_sharding)
+            return jax.lax.with_sharding_constraint(x, rep)
+    else:
+        def cst(x):
+            return x
 
     def mip_size(m):
         return max(1, h >> m), max(1, w >> m)
 
     # downsample: a[m] is the blurred pyramid level at mip m
-    a = {1: prefilter(hdr, *mip_size(1))}
+    a = {1: cst(prefilter(hdr, *mip_size(1)))}
     for i in range(BLOOM_STEPS):
         m = i + 1
         lo_h, lo_w = mip_size(m + 1)
         down = blur_h(resize_bilinear(a[m], lo_h, lo_w))
-        a[m + 1] = blur_v(down)
+        a[m + 1] = cst(blur_v(down))
     # upsample-add
     for i in range(BLOOM_STEPS - 1, -1, -1):
         m = i + 1
         hh, ww = mip_size(m)
         up = blur_h(a[m]) + blur_h(resize_bilinear(a[m + 1], hh, ww))
-        a[m] = blur_v(up)
+        a[m] = cst(blur_v(up))
     # merge at full res
-    full = blur_v(blur_h(resize_bilinear(a[1], h, w)))
+    full = cst(blur_v(blur_h(resize_bilinear(a[1], h, w))))
     return hdr + full

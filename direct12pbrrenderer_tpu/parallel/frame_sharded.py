@@ -3,14 +3,19 @@
 The reference is a single-GPU program (SURVEY.md §2.8); the TPU rebuild's
 scaling axis is the screen: a 1D `jax.sharding.Mesh` over axis ``"sp"``
 (screen/space parallelism — the renderer's analog of data parallelism) splits
-the framebuffer into row bands. Inside `shard_map` each chip:
+the framebuffer into row bands. The frame is one jit in two regimes:
 
-* runs the (cheap, replicated) vertex transform + triangle setup,
-* bins triangles against *its* rows only and rasterizes + G-buffer-shades +
-  deferred-shades its band (the heavy, perfectly parallel work),
-* `all_gather`s the HDR band over ICI so the cross-band post chain (bloom's
-  pyramid and the global luminance histogram) sees the whole image; exposure
-  and tone mapping then run replicated (identical on every chip).
+* **shard_map band render** — each chip runs the (cheap, replicated) vertex
+  transform + triangle setup, bins triangles against *its* rows only, and
+  rasterizes + G-buffer-shades + deferred-shades its band (the heavy,
+  perfectly parallel work). The band leaves the shard_map still sharded
+  (`out_specs=P("sp")`) — no gather, no replication.
+* **GSPMD post chain** — bloom, auto-exposure and tone mapping run as
+  ordinary global-semantics ops annotated with row shardings
+  (`ops/bloom.bloom(row_sharding=...)`): the partitioner keeps every
+  full-/half-res blur row-parallel and auto-inserts the 4-row halo
+  exchanges and the exposure psum as ICI collectives. Only the tiny deep
+  pyramid mips (<1% of pixel work) replicate.
 
 Scene buffers and lights are replicated (tens of MB — the natural choice at
 this scale; texture-atlas sharding over a second axis is the growth path).
@@ -21,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RenderConfig
 from ..ops import bloom as bloom_ops
@@ -42,11 +47,16 @@ def build_sharded_frame(
     pallas_interpret: bool = False,
     use_tex_kernel: bool | None = None,
     env_ids: tuple | None = None,
+    collect_stats: bool = False,
 ):
-    """Returns jit(frame) where raster/shade are row-sharded over mesh axis
-    'sp'. The returned function takes the same pytree of buffers as the
-    single-chip pipeline plus per-frame arrays, and yields a replicated
-    (H, W, 3) uint8 image and the new average-luminance carry."""
+    """Returns jit(frame) where raster/shade AND the post chain are
+    row-sharded over mesh axis 'sp'. The returned function takes the same
+    pytree of buffers as the single-chip pipeline plus per-frame arrays and
+    yields an (H, W, 3) uint8 image (row-sharded across the mesh; np.asarray
+    assembles it) and the new average-luminance carry. With
+    ``collect_stats=True`` it additionally returns the FrameStats triple
+    (bin_counts over all tiles, tex_approx_count, light_trunc) the
+    single-chip `_frame` reports."""
     n_dev = mesh.shape["sp"]
     w, h = config.width, config.height
     assert h % (n_dev * tile_h) == 0, (
@@ -67,7 +77,7 @@ def build_sharded_frame(
 
     def band_render(
         buffers, model_mats, normal_mats, instance_visible, light_valid,
-        view, inv_view, view_proj, camera_pos, prev_avg_lum, delta_time,
+        view, inv_view, view_proj, camera_pos,
     ):
         band = jax.lax.axis_index("sp")
         y0 = (band * band_h).astype(jnp.float32)
@@ -75,7 +85,7 @@ def build_sharded_frame(
         # replicated vertex/setup work (small vs. per-pixel work); the heavy
         # per-pixel stages below are the SAME functions the single-chip
         # pipeline runs (pipeline.stages), with y_offset/band plumbing — the
-        # only sharding-specific code here is the mesh/all_gather glue.
+        # only sharding-specific code here is the mesh glue.
         setup, vattrs = stages.geometry(
             buffers, model_mats, normal_mats, instance_visible, view_proj, w, h
         )
@@ -99,30 +109,51 @@ def build_sharded_frame(
             env_tile=band_tile if env_ids is not None else None,
             env_interpret=pallas_interpret,
         )
+        if not collect_stats:
+            return rt_band
+        tex_approx = (gb.tex_approx if gb.tex_approx is not None
+                      else jnp.zeros((), jnp.int32))
+        return rt_band, bins.counts, tex_approx[None]
 
-        # gather bands over ICI -> full HDR image on every chip
-        rt_full = jax.lax.all_gather(rt_band, "sp", axis=0, tiled=True)
-
-        # replicated post chain (bloom crosses band boundaries; histogram is
-        # global). Identical on all chips, so stays consistent.
-        if enable_bloom:
-            rt_full = bloom_ops.bloom(rt_full)
-        avg = postprocess.average_luminance_direct(
-            rt_full, float(w * h), prev_avg_lum, delta_time
-        )
-        out = postprocess.tone_map(rt_full, avg)
-        rgb8 = (out * 255.0 + 0.5).astype(jnp.uint8)
-        return rgb8, avg
-
-    replicated = P()
+    out_specs = (P("sp"), P("sp"), P("sp")) if collect_stats else P("sp")
     shard_fn = jax.shard_map(
         band_render,
         mesh=mesh,
-        in_specs=(replicated,) * 11,
-        out_specs=replicated,
+        in_specs=(P(),) * 9,
+        out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(shard_fn)
+
+    sp = NamedSharding(mesh, P("sp"))
+
+    def frame(
+        buffers, model_mats, normal_mats, instance_visible, light_valid,
+        view, inv_view, view_proj, camera_pos, prev_avg_lum, delta_time,
+    ):
+        out = shard_fn(
+            buffers, model_mats, normal_mats, instance_visible, light_valid,
+            view, inv_view, view_proj, camera_pos,
+        )
+        rt = out[0] if collect_stats else out
+        rt = jax.lax.with_sharding_constraint(rt, sp)
+
+        # post chain: global-semantics ops, row-sharded by GSPMD (bloom
+        # crosses band boundaries only through 4-row blur halos and the
+        # tiny deep mips; exposure is a global reduction -> psum)
+        if enable_bloom:
+            rt = bloom_ops.bloom(rt, row_sharding=sp)
+        avg = postprocess.average_luminance_direct(
+            rt, float(w * h), prev_avg_lum, delta_time
+        )
+        img = postprocess.tone_map(rt, avg)
+        rgb8 = jax.lax.with_sharding_constraint(
+            (img * 255.0 + 0.5).astype(jnp.uint8), sp
+        )
+        if collect_stats:
+            return rgb8, avg, out[1], out[2].sum(), jnp.zeros((), jnp.int32)
+        return rgb8, avg
+
+    return jax.jit(frame)
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:

@@ -59,6 +59,30 @@ def test_sharded_matches_single_chip():
     assert (diff > 1).mean() < 1e-3
     assert float(avg) > 0
 
+    # FrameStats threaded through the sharded path: per-band bin counts
+    # concatenate to the full tile grid; tex_approx sums across chips
+    frame_s = frame_sharded.build_sharded_frame(
+        mesh, CFG, tile_h=12, tile_w=64, bin_cap=512, collect_stats=True
+    )
+    rgb8_s, avg_s, bin_counts, tex_approx, light_trunc = frame_s(
+        pipe.buffers,
+        jnp.asarray(p.model_mats),
+        jnp.asarray(normal_mats),
+        jnp.asarray(p.instance_visibility(planes)),
+        jnp.asarray(p.visible_lights(planes)),
+        jnp.asarray(view),
+        jnp.asarray(cam.world_matrix()),
+        jnp.asarray(cam.projection_matrix() @ view),
+        jnp.asarray(cam.position),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(1.0 / 60.0, jnp.float32),
+    )
+    assert np.array_equal(np.asarray(rgb8_s), out)
+    n_tiles = (CFG.height // 12) * (CFG.width // 64)
+    assert np.asarray(bin_counts).shape == (n_tiles,)
+    assert int(np.asarray(bin_counts).sum()) > 0
+    assert int(tex_approx) >= 0 and int(light_trunc) == 0
+
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
 def test_sharded_with_cache_kernels_matches_single_chip():
