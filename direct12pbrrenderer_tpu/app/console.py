@@ -39,13 +39,33 @@ def import_model(loader: ResourceLoader, args) -> str:
     return f"imported model -> {model.repo_path}" if model else "import failed"
 
 
+def _hdr_quality(args):
+    """Context: BC6H encode quality for this import (--hdr-quality)."""
+    import contextlib
+
+    from ..resource import bc
+
+    @contextlib.contextmanager
+    def ctx():
+        prev = bc.BC6H_QUALITY_DEFAULT
+        bc.BC6H_QUALITY_DEFAULT = getattr(args, "hdr_quality", prev)
+        try:
+            yield
+        finally:
+            bc.BC6H_QUALITY_DEFAULT = prev
+
+    return ctx()
+
+
 def import_texture(loader: ResourceLoader, args) -> str:
-    tex = loader.import_texture(args.input, args.output)
+    with _hdr_quality(args):
+        tex = loader.import_texture(args.input, args.output)
     return f"imported texture -> {tex.repo_path}" if tex else "import failed"
 
 
 def import_cubemap(loader: ResourceLoader, args) -> str:
-    res = loader.import_cubemap(args.input, args.output)
+    with _hdr_quality(args):
+        res = loader.import_cubemap(args.input, args.output)
     return f"imported cubemap -> {res.repo_path}"
 
 
@@ -135,11 +155,15 @@ def build_parser():
     p = sub.add_parser("ImportTexture")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--hdr-quality", choices=("fast", "high"), default="fast",
+                   help="BC6H encode: fast=mode 11, high=multi-mode search")
     p.set_defaults(fn=import_texture)
 
     p = sub.add_parser("ImportCubeMap")
     p.add_argument("-i", "--input", required=True)
     p.add_argument("-o", "--output", required=True)
+    p.add_argument("--hdr-quality", choices=("fast", "high"), default="fast",
+                   help="BC6H encode: fast=mode 11, high=multi-mode search")
     p.set_defaults(fn=import_cubemap)
 
     p = sub.add_parser("CreateSphereModel")

@@ -387,21 +387,209 @@ def _quantize_mode11(x: np.ndarray) -> np.ndarray:
 
     Inverts the decode chain: final_bits = (unquantize(e) * 31) >> 6 with
     unquantize(e) ~= e*64 + 32, so e ~= bits/31 - 0.5."""
-    e = np.round(x.astype(np.float64) / 31.0 - 0.5)
+    # floor(x/31) == round-half-away(x/31 - 0.5) for x >= 0 — matches the
+    # C++ codec's lround; np.round's half-even ties would collapse near-flat
+    # blocks' endpoints (e.g. bits 14291: 461 here, 460 under half-even)
+    e = np.floor(x.astype(np.float64) / 31.0)
     return np.clip(e, 0, 1023).astype(np.int32)
 
 
-def bc6h_encode_mip(rgba_f16: np.ndarray) -> bytes:
-    """Encode (h, w, >=3) float16 -> BC6H UF16 using mode 11 (single region,
-    10-bit endpoints, 4-bit indices). Valid BC6H, modest quality — mirrors the
-    role of DirectX::Compress on the asset save path."""
-    try:
-        from . import native_codec
+def _unq10(e):
+    """Vectorized _unquantize_unsigned for 10-bit endpoints."""
+    x = np.asarray(e, np.int64)
+    out = ((x << 16) + 0x8000) >> 10
+    out = np.where(x == 0, 0, out)
+    out = np.where(x == 1023, 0xFFFF, out)
+    return out
 
-        if native_codec.available():
-            return native_codec.bc6h_encode_mip(rgba_f16)
-    except ImportError:
-        pass
+
+def _mode11_candidate(blocks: np.ndarray, bits16: np.ndarray):
+    """Mode-11 (single region, 10-bit endpoints, 4-bit indices) encode of
+    every block. Returns (e0, e1, idx, err) with err = decoded squared error
+    in float space (the selection metric for the quality path)."""
+    cmin = bits16.min(axis=1)
+    cmax = bits16.max(axis=1)
+    e0 = _quantize_mode11(cmin)
+    e1 = _quantize_mode11(cmax)
+
+    u0, u1 = _unq10(e0), _unq10(e1)  # (N,3)
+    w4 = _W4.astype(np.int64)
+    pal = ((u0[:, None, :] * (64 - w4[None, :, None]) + u1[:, None, :] * w4[None, :, None] + 32) >> 6)
+    pal = (pal * 31) >> 6  # (N,16,3) f16 bit patterns
+    palf = pal.astype(np.uint16).view(np.float16).astype(np.float32)
+    blockf = blocks.astype(np.float32)
+    d = blockf[:, :, None, :] - palf[:, None, :, :]
+    dist = np.einsum("ntpc,ntpc->ntp", d, d)  # (N,16,16)
+    idx = dist.argmin(axis=-1).astype(np.int64)  # (N,16)
+    # Anchor texel 0 has only 3 index bits (MSB implicitly 0): restrict its
+    # argmin to the first 8 palette entries.
+    idx[:, 0] = dist[:, 0, :8].argmin(axis=-1)
+    err = np.take_along_axis(dist, idx[..., None], axis=-1)[..., 0].sum(axis=1)
+    return e0, e1, idx, err
+
+
+def _quantize_prec(bits: np.ndarray, prec: int) -> np.ndarray:
+    """f16 bit patterns (unsigned range) -> prec-bit endpoint.
+
+    Inverts the full decode chain final = (unquantize(e) * 31) >> 6 with
+    unquantize(e) ~= e * 2^16 / 2^prec, so e ~= bits * 2^prec / (31*1024)
+    - 0.5 rounded half-away == floor(bits * 2^prec / 31744) (the prec=10
+    case reduces to _quantize_mode11)."""
+    e = np.floor(bits.astype(np.float64) * (1 << prec) / 31744.0)
+    return np.clip(e, 0, (1 << prec) - 1).astype(np.int64)
+
+
+def _unq_prec(e, prec: int):
+    """Vectorized _unquantize_unsigned."""
+    x = np.asarray(e, np.int64)
+    out = ((x << 16) + 0x8000) >> prec
+    out = np.where(x == 0, 0, out)
+    out = np.where(x == (1 << prec) - 1, 0xFFFF, out)
+    return out
+
+
+def _mode2_candidates(blocks: np.ndarray, bits16: np.ndarray, mode: int):
+    """Two-region candidates for `mode` over ALL 32 partitions, vectorized
+    over blocks.
+
+    Returns (ep_store (N,32,4,3) field values [w raw prec-bit, x/y/z as
+    dbits-bit two's-complement deltas — or raw endpoints for untransformed
+    modes], idx (N,32,16) 3-bit indices obeying both anchor MSB constraints,
+    err (N,32)). Every candidate is decode-valid: deltas are clamped to the
+    representable range and the error is measured against the
+    exactly-reconstructed palette."""
+    prec, dbits, transformed, regions = _BC6H_MODES[mode]
+    assert regions == 2
+    n = blocks.shape[0]
+    blockf = blocks.astype(np.float32)
+    w3 = _W3.astype(np.int64)
+    big = np.int64(1) << 40
+    mask = (1 << prec) - 1
+
+    ep_store = np.zeros((n, 32, 4, 3), np.int64)
+    idx_all = np.zeros((n, 32, 16), np.int64)
+    err_all = np.zeros((n, 32), np.float64)
+
+    for p in range(32):
+        part = _P2[p]                       # (16,) 0/1 subset per texel
+        anchor2 = int(_P2_ANCHOR[p])
+        in1 = part.astype(bool)[None, :, None]       # (1,16,1)
+        lo0 = np.where(in1, big, bits16).min(axis=1)
+        hi0 = np.where(in1, -1, bits16).max(axis=1)
+        lo1 = np.where(in1, bits16, big).min(axis=1)
+        hi1 = np.where(in1, bits16, -1).max(axis=1)
+        eq = np.stack([_quantize_prec(lo0, prec), _quantize_prec(hi0, prec),
+                       _quantize_prec(lo1, prec), _quantize_prec(hi1, prec)],
+                      axis=1)                        # (N,4,3) w,x,y,z
+
+        # provisional palette/indices to decide endpoint swaps so the two
+        # anchor texels (index MSB stored as 0) land in the low half
+        def palette(e):                              # (N,4,3) -> (N,2,8,3) f32
+            uq = _unq_prec(e, prec)
+            lo = uq[:, 0::2, None, :]
+            hi = uq[:, 1::2, None, :]
+            pal = ((lo * (64 - w3[None, None, :, None])
+                    + hi * w3[None, None, :, None] + 32) >> 6)
+            pal = (pal * 31) >> 6
+            return pal.astype(np.uint16).view(np.float16).astype(np.float32)
+
+        def best_idx(palf):                          # -> idx (N,16), dist
+            pal_t = palf[:, part, :, :]              # (N,16,8,3)
+            d = blockf[:, :, None, :] - pal_t
+            dist = np.einsum("ntpc,ntpc->ntp", d, d)  # (N,16,8)
+            idx = dist.argmin(axis=-1).astype(np.int64)
+            # anchor texels store ibits-1 bits -> index must be < 4
+            for a in (0, anchor2):
+                idx[:, a] = dist[:, a, :4].argmin(axis=-1)
+            return idx, dist
+
+        idx0, _ = best_idx(palette(eq))
+        swap_s0 = idx0[:, 0] >= 4
+        swap_s1 = idx0[:, anchor2] >= 4
+        eqs = eq.copy()
+        eqs[swap_s0, 0], eqs[swap_s0, 1] = eq[swap_s0, 1], eq[swap_s0, 0]
+        eqs[swap_s1, 2], eqs[swap_s1, 3] = eq[swap_s1, 3], eq[swap_s1, 2]
+
+        if transformed:
+            # delta vs base w, clamped to signed dbits; reconstruct the
+            # endpoints the DECODER will see and rebuild the exact palette
+            half = [1 << (b - 1) for b in dbits]
+            d = np.stack([
+                np.clip(eqs[:, 1:, c] - eqs[:, :1, c],
+                        -half[c], half[c] - 1) for c in range(3)], axis=-1)
+            recon = np.concatenate(
+                [eqs[:, :1, :], (eqs[:, :1, :] + d) & mask], axis=1)
+            store = np.concatenate(
+                [eqs[:, :1, :],
+                 d & np.array([(1 << b) - 1 for b in dbits])[None, None, :]],
+                axis=1)
+        else:
+            recon = eqs
+            store = eqs
+        idx, dist = best_idx(palette(recon))
+        err = np.take_along_axis(dist, idx[..., None], axis=-1)[..., 0].sum(1)
+
+        ep_store[:, p] = store
+        idx_all[:, p] = idx
+        err_all[:, p] = err
+    return ep_store, idx_all, err_all
+
+
+def _pack_block_fields(mode: int, ep, partition: int, idx, ibits: int,
+                       anchor2: int) -> bytes:
+    """Pack one block through the decoder's own field table
+    (_BC6H_FIELDS[mode]) — layout consistency with decode by construction."""
+    bitbuf = 0
+    pos = 0
+
+    def put(v, nb):
+        nonlocal bitbuf, pos
+        bitbuf |= (int(v) & ((1 << nb) - 1)) << pos
+        pos += nb
+
+    if mode < 2:
+        put(mode, 2)
+    else:
+        put(mode & 3, 2)
+        put(mode >> 2, 3)
+    for e_idx, ch, bit in _BC6H_FIELDS[mode]:
+        put((int(ep[e_idx][ch]) >> bit) & 1, 1)
+    if _BC6H_MODES[mode][3] == 2:
+        put(partition, 5)
+    for t in range(16):
+        nb = ibits - 1 if (t == 0 or t == anchor2) else ibits
+        put(idx[t], nb)
+    return bitbuf.to_bytes(16, "little")
+
+
+# Module-level default for the asset save path (compress_texture /
+# TextureData.compress_payload); the import console's --hdr-quality flag
+# flips it to "high" for DirectXTex-grade multi-mode search.
+BC6H_QUALITY_DEFAULT = "fast"
+
+
+def bc6h_encode_mip(rgba_f16: np.ndarray, quality: str | None = None) -> bytes:
+    """Encode (h, w, >=3) float16 -> BC6H UF16.
+
+    quality="fast": mode 11 only (single region, 10-bit endpoints, 4-bit
+    indices) — the C++ codec fast path (native/bcodec.cpp).
+    quality="high": per block, mode 11 competes against two-region
+    candidates (mode 0: 10-bit base + 5-bit deltas for gentle blocks;
+    mode 1: 7-bit + 6-bit deltas; mode 30: 6-bit untransformed for blocks
+    whose subsets sit far apart) across all 32 BPTC partitions; the
+    candidate with the smallest decoded squared error wins — the role of
+    DirectXTex's multi-mode search (TextureCompression.cpp:24-50) for the
+    asset save path."""
+    if quality is None:
+        quality = BC6H_QUALITY_DEFAULT
+    if quality == "fast":
+        try:
+            from . import native_codec
+
+            if native_codec.available():
+                return native_codec.bc6h_encode_mip(rgba_f16)
+        except ImportError:
+            pass
     h, w = rgba_f16.shape[:2]
     bw, bh = _blocks(w), _blocks(h)
     rgb = np.asarray(rgba_f16[..., :3], dtype=np.float16)
@@ -410,51 +598,37 @@ def bc6h_encode_mip(rgba_f16: np.ndarray) -> bytes:
     blocks = pad.reshape(bh, 4, bw, 4, 3).transpose(0, 2, 1, 3, 4).reshape(-1, 16, 3)
     bits16 = blocks.view(np.uint16).astype(np.int64)  # monotonic for non-negative halfs
 
-    cmin = bits16.min(axis=1)
-    cmax = bits16.max(axis=1)
-    e0 = _quantize_mode11(cmin)
-    e1 = _quantize_mode11(cmax)
-
-    # Palette: unquantize endpoints, 16-step interpolation.
-    def unq(e):
-        x = e.astype(np.int64)
-        out = ((x << 16) + 0x8000) >> 10
-        out = np.where(x == 0, 0, out)
-        out = np.where(x == 1023, 0xFFFF, out)
-        return out
-
-    u0, u1 = unq(e0), unq(e1)  # (N,3)
-    w4 = _W4.astype(np.int64)
-    pal = ((u0[:, None, :] * (64 - w4[None, :, None]) + u1[:, None, :] * w4[None, :, None] + 32) >> 6)
-    pal = (pal * 31) >> 6  # (N,16,3) f16 bit patterns
-    palf = pal.astype(np.uint16).view(np.float16).astype(np.float32)
-    blockf = blocks.astype(np.float32)
-    d = blockf[:, :, None, :] - palf[:, None, :, :]
-    idx = np.einsum("ntpc,ntpc->ntp", d, d).argmin(axis=-1).astype(np.int64)  # (N,16)
-    # Anchor texel 0 has only 3 index bits (MSB implicitly 0): clamp.
-    idx[:, 0] = np.minimum(idx[:, 0], 7)
-
+    e0, e1, idx11, err11 = _mode11_candidate(blocks, bits16)
     n_blocks = blocks.shape[0]
-    out = np.zeros((n_blocks, 16), dtype=np.uint8)
+
+    best_mode = np.full(n_blocks, 0x03, np.int64)     # mode 11 default
+    best_part = np.zeros(n_blocks, np.int64)
+    best_err = err11.astype(np.float64)
+    cand = {}
+    if quality == "high":
+        for m in (0x00, 0x01, 0x1E):
+            ep_m, idx_m, err_m = _mode2_candidates(blocks, bits16, m)
+            cand[m] = (ep_m, idx_m)
+            p_m = err_m.argmin(axis=1)
+            e_m = np.take_along_axis(err_m, p_m[:, None], axis=1)[:, 0]
+            win = e_m < best_err
+            best_mode = np.where(win, m, best_mode)
+            best_part = np.where(win, p_m, best_part)
+            best_err = np.where(win, e_m, best_err)
+
+    out = bytearray()
     for i in range(n_blocks):
-        bitbuf = 0
-        pos = 0
-
-        def put(v, nb):
-            nonlocal bitbuf, pos
-            bitbuf |= (int(v) & ((1 << nb) - 1)) << pos
-            pos += nb
-
-        put(0x03, 5)  # mode 11
-        for c in range(3):
-            put(e0[i, c], 10)
-        for c in range(3):
-            put(e1[i, c], 10)
-        put(idx[i, 0], 3)
-        for t in range(1, 16):
-            put(idx[i, t], 4)
-        out[i] = np.frombuffer(bitbuf.to_bytes(16, "little"), dtype=np.uint8)
-    return out.tobytes()
+        m = int(best_mode[i])
+        if m == 0x03:
+            ep = np.stack([e0[i], e1[i], np.zeros(3, np.int64),
+                           np.zeros(3, np.int64)])
+            out += _pack_block_fields(0x03, ep, 0, idx11[i], 4, -1)
+        else:
+            p = int(best_part[i])
+            ep_m, idx_m = cand[m]
+            out += _pack_block_fields(m, ep_m[i, p], p, idx_m[i, p], 3,
+                                      int(_P2_ANCHOR[p]))
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,58 @@ def test_bc6h_mode11_roundtrip():
     assert rel.max() < 0.5  # single shared index across channels bounds worst-case
 
 
+def test_bc6h_high_quality_two_region_encode():
+    """quality="high" runs the 32-partition mode-0 search: on edge content
+    (two distinct HDR populations per block) it must beat mode 11, decode
+    bit-consistently through BOTH decoders, and actually emit mode-0 blocks."""
+    from direct12pbrrenderer_tpu.resource import bc
+
+    rng = np.random.default_rng(7)
+    # hard two-population content: bright sky vs dark ground with a ragged
+    # boundary through every block — the worst case for single-region encode
+    img = np.empty((16, 16, 4), np.float32)
+    boundary = 8 + (rng.integers(-5, 6, size=16))
+    for col in range(16):
+        img[: boundary[col], col, :3] = [22.0, 17.0, 9.0] + rng.normal(
+            0, 0.2, (boundary[col], 3)
+        )
+        img[boundary[col] :, col, :3] = [0.05, 0.08, 0.03] + rng.normal(
+            0, 0.005, (16 - boundary[col], 3)
+        )
+    img[..., 3] = 1.0
+    img = np.maximum(img, 0).astype(np.float16)
+
+    blob_fast = bc6h_encode_mip(img, quality="fast")
+    blob_high = bc6h_encode_mip(img, quality="high")
+    assert len(blob_high) == len(blob_fast) == 16 * 16
+
+    ref = img[..., :3].astype(np.float32)
+
+    def mse(blob):
+        dec = bc6h_decode_mip(blob, 16, 16).astype(np.float32)[..., :3]
+        return float(((dec - ref) ** 2).mean())
+
+    # 2-region wins on edges (>=1.2 dB here; the residual is boundary shapes
+    # the 32 fixed BPTC partition patterns cannot represent)
+    assert mse(blob_high) < 0.75 * mse(blob_fast)
+
+    # at least one block chose mode 0 (first two stored bits == 00)
+    raw = np.frombuffer(blob_high, np.uint8).reshape(-1, 16)
+    assert ((raw[:, 0] & 0x3) == 0).any()
+
+    # python decoder and the C++ codec agree on the mode-0 blocks
+    from direct12pbrrenderer_tpu.resource import native_codec
+
+    if native_codec.available():
+        dec_native = native_codec.bc6h_decode_mip(blob_high, 16, 16)
+        dec_py = np.stack(
+            [bc._decode_bc6h_block(b) for b in raw]
+        ).reshape(4, 4, 4, 4, 3).transpose(0, 2, 1, 3, 4).reshape(16, 16, 3)
+        assert np.array_equal(
+            dec_native[..., :3].astype(np.float32), dec_py.astype(np.float32)
+        )
+
+
 def test_texture_binary_roundtrip_through_bc1():
     """Our serializer writes TextureInfo + BC1 payload that we can re-read."""
     rng = np.random.default_rng(2)
