@@ -113,16 +113,51 @@ def prefilter(img, out_h: int, out_w: int):
     return total / jnp.maximum(weight, 1e-20)
 
 
+@functools.lru_cache(maxsize=None)
+def _blur_mat(n: int) -> np.ndarray:
+    """(n, n) float64 matrix of the 9-tap clamp-addressed Gaussian: row o
+    sums w[t+4] into column clip(o+t) — exactly blur_h/blur_v's _shift
+    semantics as a linear operator."""
+    m = np.zeros((n, n), np.float64)
+    w = np.asarray(GAUSS_WEIGHTS, np.float64)
+    rows = np.arange(n)
+    for t in range(-_R, _R + 1):
+        np.add.at(m, (rows, np.clip(rows + t, 0, n - 1)), w[t + _R])
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def _blur_resize_mat(out_n: int, in_n: int) -> np.ndarray:
+    """(out_n, in_n) f32: blur ∘ bilinear-resize folded into ONE matrix
+    (both are linear operators along the axis)."""
+    return (
+        _blur_mat(out_n) @ _resize_matrix(out_n, in_n, True).astype(np.float64)
+    ).astype(np.float32)
+
+
+def _mm_rows(m, img):
+    return jnp.einsum("oi,iwc->owc", m, img, precision=_HP)
+
+
+def _mm_cols(m, img):
+    return jnp.einsum("oi,hic->hoc", m, img, precision=_HP)
+
+
 def bloom(hdr, row_sharding=None):
     """Full bloom chain; hdr (H, W, 3) -> (H, W, 3) with bloom added.
 
+    MXU formulation: every down/up/merge step is `blur_v ∘ blur_h ∘ resize`
+    — all linear along each axis — so each step folds into ONE precomputed
+    (rows) matrix and ONE (cols) matrix: the whole pyramid after the
+    nonlinear prefilter is ~2 matmuls per level and zero pad/slice chains.
+    Same operator as the reference pass sequence (see bloom_reference, which
+    keeps the literal per-pass formulation; tests pin fused == literal).
+
     row_sharding: optional `jax.sharding.NamedSharding` over the row axis
     (PartitionSpec("sp",)). When given, pyramid levels big enough to split
-    are annotated with it so GSPMD keeps the heavy full-/half-res blurs
-    row-parallel across the mesh (auto-inserting the 4-row blur halos as
-    collective-permutes); small deep mips are annotated replicated — they
-    are <1% of the pixel work and sharding them would make the halo wider
-    than the shard. The math is identical either way."""
+    are annotated with it so GSPMD keeps the heavy full-/half-res matmuls
+    row-parallel across the mesh; small deep mips are annotated replicated —
+    they are <1% of the pixel work. The math is identical either way."""
     h, w = hdr.shape[0], hdr.shape[1]
 
     if row_sharding is not None:
@@ -132,7 +167,7 @@ def bloom(hdr, row_sharding=None):
         rep = NamedSharding(row_sharding.mesh, PartitionSpec())
 
         def cst(x):
-            # shard only when every shard keeps >= 16 rows (blur halo is 4)
+            # shard only when every shard keeps >= 16 rows
             if x.shape[0] // n_dev >= 16:
                 return jax.lax.with_sharding_constraint(x, row_sharding)
             return jax.lax.with_sharding_constraint(x, rep)
@@ -143,19 +178,56 @@ def bloom(hdr, row_sharding=None):
     def mip_size(m):
         return max(1, h >> m), max(1, w >> m)
 
-    # downsample: a[m] is the blurred pyramid level at mip m
+    # downsample: a[m] is the blurred pyramid level at mip m;
+    # down = blur_v(blur_h(resize(a))) = (Bv Mv) a (Bh Mh)^T
     a = {1: cst(prefilter(hdr, *mip_size(1)))}
+    for i in range(BLOOM_STEPS):
+        m = i + 1
+        hh, ww = mip_size(m)
+        lo_h, lo_w = mip_size(m + 1)
+        pv = jnp.asarray(_blur_resize_mat(lo_h, hh))
+        ph = jnp.asarray(_blur_resize_mat(lo_w, ww))
+        a[m + 1] = cst(_mm_cols(ph, _mm_rows(pv, a[m])))
+    # upsample-add: blur_v(blur_h(a) + blur_h(resize(a_lo)))
+    #             = Bv a Bh^T + (Bv Mv) a_lo (Bh Mh)^T
+    for i in range(BLOOM_STEPS - 1, -1, -1):
+        m = i + 1
+        hh, ww = mip_size(m)
+        lh, lw = mip_size(m + 1)
+        bv = jnp.asarray(_blur_mat(hh).astype(np.float32))
+        bh = jnp.asarray(_blur_mat(ww).astype(np.float32))
+        uv = jnp.asarray(_blur_resize_mat(hh, lh))
+        uh = jnp.asarray(_blur_resize_mat(ww, lw))
+        a[m] = cst(
+            _mm_cols(bh, _mm_rows(bv, a[m]))
+            + _mm_cols(uh, _mm_rows(uv, a[m + 1]))
+        )
+    # merge at full res
+    fv = jnp.asarray(_blur_resize_mat(h, mip_size(1)[0]))
+    fh = jnp.asarray(_blur_resize_mat(w, mip_size(1)[1]))
+    full = cst(_mm_cols(fh, _mm_rows(fv, a[1])))
+    return hdr + full
+
+
+def bloom_reference(hdr):
+    """The literal per-pass formulation (BloomPass::Execute order, shifted
+    adds + separate resizes) — the semantic spec `bloom` must match; kept
+    for tests/test_postprocess.py's fused-vs-literal equivalence check."""
+    h, w = hdr.shape[0], hdr.shape[1]
+
+    def mip_size(m):
+        return max(1, h >> m), max(1, w >> m)
+
+    a = {1: prefilter(hdr, *mip_size(1))}
     for i in range(BLOOM_STEPS):
         m = i + 1
         lo_h, lo_w = mip_size(m + 1)
         down = blur_h(resize_bilinear(a[m], lo_h, lo_w))
-        a[m + 1] = cst(blur_v(down))
-    # upsample-add
+        a[m + 1] = blur_v(down)
     for i in range(BLOOM_STEPS - 1, -1, -1):
         m = i + 1
         hh, ww = mip_size(m)
         up = blur_h(a[m]) + blur_h(resize_bilinear(a[m + 1], hh, ww))
-        a[m] = cst(blur_v(up))
-    # merge at full res
-    full = cst(blur_v(blur_h(resize_bilinear(a[1], h, w))))
+        a[m] = blur_v(up)
+    full = blur_v(blur_h(resize_bilinear(a[1], h, w)))
     return hdr + full

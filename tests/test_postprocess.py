@@ -98,3 +98,13 @@ def test_average_luminance_direct_matches_histogram_path():
     a = float(postprocess.average_luminance(hist, 32.0 * 48, jnp.asarray(0.2), 0.5))
     b = float(postprocess.average_luminance_direct(img, 32.0 * 48, jnp.asarray(0.2), 0.5))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_bloom_fused_matches_literal():
+    """The MXU matmul formulation (blur∘resize folded into per-level
+    matrices) must equal the literal per-pass chain it re-associates."""
+    rng = np.random.default_rng(11)
+    img = (rng.random((96, 128, 3)) * 12.0).astype(np.float32)
+    fused = np.asarray(bloom.bloom(jnp.asarray(img)))
+    literal = np.asarray(bloom.bloom_reference(jnp.asarray(img)))
+    np.testing.assert_allclose(fused, literal, rtol=2e-5, atol=2e-5)
