@@ -80,7 +80,6 @@ def deferred_shade(
     brdf_lut_quad,        # ((S*S, 4, 2) quad records, S) for the split-sum LUT
     prefiltered,          # common.CubeMipAtlas of the 5 prefiltered mips
     skybox,               # common.CubeMipAtlas (1 mip) for the background
-    cluster_bounds_t,     # (6, C) transposed view-space cluster AABBs
     active_lights,        # (N_active, 14) from clustered.build_active_lights
     inv_view, camera_pos,
     fov, ratio, near, far,
@@ -229,9 +228,8 @@ def deferred_shade(
     v = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5 + y_offset) / fh
     # per-pixel cluster AABB in closed form (clustered_compute.hlsl:21-42
     # evaluated directly) — zero table fetches (random gathers cost ~25ns each
-    # on TPU; pure VPU math is free by comparison). cluster_bounds_t is kept
-    # in the signature for the graph/tests but unused here.
-    del cluster_bounds_t
+    # on TPU; pure VPU math is free by comparison). The precomputed bounds
+    # table lives only in the graph's FrustumCluster parity resource.
     sx = jnp.clip(jnp.floor(u * clustered.CLUSTER_X), 0, clustered.CLUSTER_X - 1)
     sy = jnp.clip(
         jnp.floor((1.0 - v) * clustered.CLUSTER_Y), 0, clustered.CLUSTER_Y - 1

@@ -31,7 +31,7 @@ from ..config import (
 )
 from ..graph import frame_graph as fg
 from ..ops import bloom as bloom_ops
-from ..ops import clustered, common, gbuffer, ibl, interp_pallas, postprocess, raster, raster_pallas, shading
+from ..ops import clustered, common, gbuffer, ibl, postprocess, raster, raster_pallas, shading
 from ..scene.camera import Camera
 from ..scene.scene import Scene
 from . import stages
@@ -61,7 +61,6 @@ class DeferredRenderPipeline:
         prefilter_size: int | None = None,
         brdf_lut_size: int = BRDF_LUT_SIZE,
         use_pallas: bool | None = None,
-        use_pallas_interp: bool = False,
         use_tex_kernel: bool | None = None,
         texture_filter: str = "trilinear",
         max_active_lights: int = 64,
@@ -92,7 +91,6 @@ class DeferredRenderPipeline:
         if light_cap is None:
             light_cap = max(128, -(-min(max_active_lights, 1024) // 128) * 128)
         self.light_cap = light_cap
-        self.use_pallas_interp = use_pallas_interp
         self.texture_filter = texture_filter
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
@@ -205,9 +203,6 @@ class DeferredRenderPipeline:
             # precompute products passed as arguments (not jit constants) so
             # they live once in HBM instead of being baked into the executable
             "ClusterBounds": self.cluster_bounds,
-            "ClusterBoundsT": jnp.concatenate(
-                [self.cluster_bounds[:, 0].T, self.cluster_bounds[:, 1].T], axis=0
-            ),
             "SkyBoxSH": self.sh_pack,
             "PrecomputeBRDF": (
                 common.make_quad_tex2d(self.brdf_lut), self.brdf_lut.shape[0]
@@ -233,7 +228,7 @@ class DeferredRenderPipeline:
             active = stages.active_lights(
                 env, env["LightValid"], env["View"], self.max_active_lights
             )
-            return {"FrustumCluster": (env["ClusterBoundsT"], active),
+            return {"FrustumCluster": (env["ClusterBounds"], active),
                     "PointLights": active[:, 13] > 0}
 
         def gbuffer_pass(env):
@@ -273,30 +268,12 @@ class DeferredRenderPipeline:
                 setup, bins, rw, rh, self.tile_h, self.tile_w, self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
             )
-            if self.use_pallas_interp:
-                # measured clearly net-negative at 1080p (693 vs 360 ms:
-                # the in-kernel per-chunk plane evaluation multiplies the
-                # raster fold cost by the channel count) — kept only as an
-                # exactness-tested alternative; the shipped path is the
-                # single-row gather + cache kernels below (docs/PERF.md)
-                rows64 = interp_pallas.pack_interp_rows(
-                    setup, vattrs, env["tris"], env["mat_rows"], env["tri_material"]
-                )
-                planes = interp_pallas.interpolate_pallas(
-                    tri_id, rows64, bins, rw, rh, self.tile_h, self.tile_w
-                )
-                gb = gbuffer.gbuffer_shade_planar(
-                    tri_id, depth, planes, env["atlas"], self.texture_filter,
-                    use_tex_kernel=self.use_tex_kernel,
-                    tex_interpret=self.pallas_interpret,
-                )
-            else:
-                gb = stages.gbuffer_shade(
-                    tri_id, depth, setup, env, vattrs, rw, rh,
-                    texture_filter=self.texture_filter,
-                    use_tex_kernel=self.use_tex_kernel,
-                    tex_interpret=self.pallas_interpret,
-                )
+            gb = stages.gbuffer_shade(
+                tri_id, depth, setup, env, vattrs, rw, rh,
+                texture_filter=self.texture_filter,
+                use_tex_kernel=self.use_tex_kernel,
+                tex_interpret=self.pallas_interpret,
+            )
             return {
                 "GBufferA": gb.albedo_emission,
                 "GBufferB": gb.normal_oct,

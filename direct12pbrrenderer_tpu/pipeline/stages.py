@@ -141,7 +141,7 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
         gb.albedo_emission, gb.normal_oct, gb.rough_metal_ao, gb.depth,
         gb.mask, buffers["SkyBoxSH"], buffers["PrecomputeBRDF"],
         buffers["PrefilterEnvMap"], buffers["SkyBoxTexture"],
-        buffers["ClusterBoundsT"], active, inv_view, camera_pos,
+        active, inv_view, camera_pos,
         config.fov, config.ratio, config.near, config.far,
         width, band_h, y_offset=y_offset, full_height=full_height,
         full_width=full_width,

@@ -46,7 +46,6 @@ SLOW_TESTS = {
     "test_texcache.py::test_anisotropic_beats_trilinear_at_grazing",
     "test_scale.py::test_stress_scene_pools_autogrow_and_bin_1080p",
     "test_assets.py::test_scene_json_loads",
-    "test_interp_pallas.py::test_interp_matches_xla_barycentrics",
     "test_raster_pallas.py::test_fused_interp_two_pass_hot_tiles",
     "test_raster.py::test_hierarchical_binning_matches_flat",
     "test_envcache.py::test_env_tiled_matches_xla_samplers",

@@ -57,9 +57,8 @@ def _shade(rows, gb, light_tile, light_cap=256):
     sh = jnp.zeros((7, 4), jnp.float32)
     lut = (common.make_quad_tex2d(jnp.zeros((8, 8, 2), jnp.float32)), 8)
     cube = common.CubeMipAtlas([np.zeros((6, 8, 8, 3), np.float32)])
-    bounds_t = jnp.zeros((6, 24 * 16 * 8), jnp.float32)
     return shading.deferred_shade(
-        alb_em, oct_, rma, depth, mask, sh, lut, cube, cube, bounds_t,
+        alb_em, oct_, rma, depth, mask, sh, lut, cube, cube,
         rows, jnp.eye(4), jnp.zeros(3), FOV, RATIO, NEAR, FAR, W, H,
         light_tile=light_tile, light_cap=light_cap,
         # env_interpret doubles as the light kernel's interpret flag

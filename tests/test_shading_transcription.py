@@ -252,12 +252,11 @@ def test_deferred_shading_full_pixel_transcription():
     ])
     skybox = common.CubeMipAtlas([jnp.zeros((6, 4, 4, 3), jnp.float32)])
     lut_quad = (common.make_quad_tex2d(jnp.asarray(lut, jnp.float32)), 8)
-    bounds_t = jnp.zeros((6, CLUSTER_X * CLUSTER_Y * CLUSTER_Z), jnp.float32)
 
     out = shading.deferred_shade(
         gb_a, gb_b, gb_c, depth, mask,
         jnp.asarray(sh_pack, jnp.float32), lut_quad, prefiltered, skybox,
-        bounds_t, jnp.asarray(lights, jnp.float32),
+        jnp.asarray(lights, jnp.float32),
         jnp.asarray(inv_view, jnp.float32), jnp.asarray(camera_pos, jnp.float32),
         fov, ratio, near, far, w, h,
     )
@@ -269,7 +268,7 @@ def test_deferred_shading_full_pixel_transcription():
     out_nolight = shading.deferred_shade(
         gb_a, gb_b, gb_c, depth, mask,
         jnp.asarray(sh_pack, jnp.float32), lut_quad, prefiltered, skybox,
-        bounds_t, jnp.zeros((2, 14), jnp.float32),
+        jnp.zeros((2, 14), jnp.float32),
         jnp.asarray(inv_view, jnp.float32), jnp.asarray(camera_pos, jnp.float32),
         fov, ratio, near, far, w, h,
     )
