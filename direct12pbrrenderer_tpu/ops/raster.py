@@ -245,7 +245,15 @@ def bin_triangles_hier(
     per-tile top_k then runs over cap1 instead of T — ~T/cap1 x less sort
     volume at 260k+ triangles. Same output contract as bin_triangles (ids in
     submission order, pre-clamp counts; supertile overflow surfaces as
-    count > cap so callers' bin_overflow stat reports it)."""
+    count > cap so callers' bin_overflow stat reports it).
+
+    The fine pass is additionally RUNTIME-adaptive: coarse candidates come
+    out of top_k ordered ascending-id with the invalid tail last, so when
+    every supertile's overlap count fits in cap1//4 the fine top_k runs over
+    just the first cap1//4 candidate columns — a `lax.cond` picks the
+    variant per frame (the reference scene at 1080p peaks at ~3.4k
+    candidates per supertile vs the 16k safety cap; sparse frames pay 4x
+    less fine-pass sort, dense frames keep the full path)."""
     num_tiles = tiles_y * tiles_x
     t = setup.aabb.shape[0]
     cap1 = min(cap1, t)
@@ -279,33 +287,48 @@ def bin_triangles_hier(
         (jnp.arange(tiles_y) // super_h)[:, None] * sx
         + (jnp.arange(tiles_x) // super_w)[None, :]
     ).reshape(num_tiles)
-    aabb_t = aabb_c[s_of_tile]                                  # (tiles, cap1, 4)
-    valid_t = cand_valid[s_of_tile]
     tile_x0 = jnp.tile(tx0, tiles_y)[:, None]                   # (tiles, 1)
     tile_y0 = jnp.repeat(ty0, tiles_x)[:, None]
-    ov2 = (
-        (aabb_t[..., 0] < tile_x0 + tile_w)
-        & (aabb_t[..., 2] > tile_x0)
-        & (aabb_t[..., 1] < tile_y0 + tile_h)
-        & (aabb_t[..., 3] > tile_y0)
-        & valid_t
-    )                                                           # (tiles, cap1)
-    counts = ov2.sum(axis=1).astype(jnp.int32)
-    # supertile overflow: candidates were truncated, so a tile under this
-    # supertile may be missing triangles — surface as overflow (count > cap)
     over1 = (cnt1 > cap1)[s_of_tile]
-    counts = jnp.where(over1, jnp.maximum(counts, cap + 1), counts)
 
-    # score by candidate id directly (the flat path's trick): descending
-    # score = ascending triangle id = submission order, and the ids fall
-    # straight out of top_k — no per-element gather afterwards
-    cand_t = cand[s_of_tile]                                    # (tiles, cap1)
-    id_score = jnp.where(ov2, t - cand_t, 0)
-    if cap1 < cap:
-        id_score = jnp.pad(id_score, ((0, 0), (0, cap - cap1)))
-    top2, _ = jax.lax.top_k(id_score, cap)
-    ids = jnp.where(top2 > 0, t - top2, -1).astype(jnp.int32)
-    return Bins(ids, counts)
+    def fine(n_cand: int) -> Bins:
+        aabb_t = aabb_c[:, :n_cand][s_of_tile]          # (tiles, n_cand, 4)
+        valid_t = cand_valid[:, :n_cand][s_of_tile]
+        ov2 = (
+            (aabb_t[..., 0] < tile_x0 + tile_w)
+            & (aabb_t[..., 2] > tile_x0)
+            & (aabb_t[..., 1] < tile_y0 + tile_h)
+            & (aabb_t[..., 3] > tile_y0)
+            & valid_t
+        )                                               # (tiles, n_cand)
+        counts = ov2.sum(axis=1).astype(jnp.int32)
+        # supertile overflow: candidates were truncated, so a tile under
+        # this supertile may be missing triangles — surface as overflow
+        # (count > cap)
+        counts = jnp.where(over1, jnp.maximum(counts, cap + 1), counts)
+
+        # score by candidate id directly (the flat path's trick): descending
+        # score = ascending triangle id = submission order, and the ids fall
+        # straight out of top_k — no per-element gather afterwards
+        cand_t = cand[:, :n_cand][s_of_tile]            # (tiles, n_cand)
+        id_score = jnp.where(ov2, t - cand_t, 0)
+        if n_cand < cap:
+            id_score = jnp.pad(id_score, ((0, 0), (0, cap - n_cand)))
+        top2, _ = jax.lax.top_k(id_score, cap)
+        ids = jnp.where(top2 > 0, t - top2, -1).astype(jnp.int32)
+        return Bins(ids, counts)
+
+    cap_small = max(cap, cap1 // 4)
+    if cap_small >= cap1:
+        return fine(cap1)
+    # coarse candidates are ascending-id with the invalid tail last, so when
+    # every supertile's count fits cap_small the first cap_small columns
+    # hold the complete set — branch per frame on the realized density
+    return jax.lax.cond(
+        jnp.max(cnt1) <= cap_small,
+        lambda: fine(cap_small),
+        lambda: fine(cap1),
+    )
 
 
 @functools.partial(

@@ -235,3 +235,12 @@ def test_hierarchical_binning_matches_flat():
     tiny = raster.bin_triangles_hier(setup, ty, tx, th, tw, cap,
                                      super_h=3, super_w=2, cap1=64)
     assert (np.asarray(tiny.counts) > cap).any()
+
+    # the adaptive fine pass must match flat through BOTH cond branches:
+    # cap1=4096 -> cap_small=1024 covers every supertile (small branch);
+    # the cap1=512 run above exercised whichever branch its density picked,
+    # so pin the small branch explicitly here
+    wide = raster.bin_triangles_hier(setup, ty, tx, th, tw, cap,
+                                     super_h=3, super_w=2, cap1=4096)
+    np.testing.assert_array_equal(np.asarray(flat.counts), np.asarray(wide.counts))
+    np.testing.assert_array_equal(np.asarray(flat.ids), np.asarray(wide.ids))
