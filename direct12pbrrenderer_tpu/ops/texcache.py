@@ -439,14 +439,177 @@ def _fused_cover_kernel(pages_ref, act_ref, list_out, cnt_out, slot_out,
         cov_out[0, gi] = (pix_cov & act).astype(jnp.int32)
 
 
+def _fused_cover_kernel_dyn(pages_ref, act_ref, list_out, cnt_out, slot_out,
+                            cov_out, cand_col, cand_row, first_col, first_row,
+                            rank_col, *, block_cap, cap_max, caps, g):
+    """_fused_cover_kernel with every merge loop bounded by the REALIZED
+    candidate count instead of the worst case.
+
+    The static kernel pays (blocks*block_cap)^2 rank-matrix work on every
+    (tile, group); the measured census (reference scene, 1536x864) shows
+    mean ~1.5 distinct pages per 128-px block against the block_cap=16
+    budget, so typical groups process 1 candidate chunk instead of
+    ceil(blocks*block_cap/128). K* = max distinct over the group's blocks
+    bounds the k-major candidate index space to K**blocks flat entries;
+    first/rank/list/pixel passes all fori over ceil(K**blocks/128) chunks
+    through VMEM scratch. Bit-identical to the static kernel and the sort
+    path (tests/test_texcache.py)."""
+    blocks = pages_ref.shape[2]
+    n0 = blocks * block_cap
+    n_pad = -(-n0 // 128) * 128
+    n_chunks_max = n_pad // 128
+
+    def col_of(row):
+        """(1, 128) row -> (128, 1) column via lane-broadcast + transpose."""
+        return jnp.transpose(jnp.broadcast_to(row, (128, 128)))[:, 0:1]
+
+    def row_of(col, n):
+        chunks = []
+        for c in range(n // 128):
+            blk = jnp.broadcast_to(col[c * 128:(c + 1) * 128], (128, 128))
+            chunks.append(jnp.transpose(blk)[0:1, :])
+        return jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
+
+    for gi in range(g):
+        cap_g = caps[gi]
+        pages = pages_ref[0, gi]                       # (blocks, 128) i32
+        act = act_ref[0, gi] != 0
+        v = jnp.where(act, pages, SENTINEL)
+
+        # block level: up to block_cap distinct per 128-px row (ascending),
+        # k-major flat index = k*blocks + row
+        slotA = jnp.full(pages.shape, block_cap, jnp.int32)
+        cands = []
+        live_cnt = jnp.zeros((blocks, 1), jnp.int32)
+        for k in range(block_cap):
+            m = jnp.min(v, axis=1, keepdims=True)      # (blocks, 1)
+            live = m != SENTINEL
+            hit = (pages == m) & live
+            slotA = jnp.where(hit, k, slotA)
+            v = jnp.where(pages == m, SENTINEL, v)
+            live_cnt = live_cnt + live.astype(jnp.int32)
+            cands.append(m)
+        cj = jnp.concatenate(cands, axis=0)            # (n0, 1) column
+        if n_pad != n0:
+            cj = jnp.concatenate(
+                [cj, jnp.full((n_pad - n0, 1), SENTINEL, jnp.int32)], axis=0)
+        ck = row_of(cj, n_pad)                         # (1, n_pad)
+        cand_col[:, :] = cj
+        for c in range(n_chunks_max):
+            cand_row[c, :] = ck[0, c * 128:(c + 1) * 128]
+
+        # realized bound: every valid candidate's flat index < K* * blocks
+        k_star = jnp.max(live_cnt)
+        n_chunks = (k_star * blocks + 127) // 128      # dynamic
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+
+        # pass 1: first-occurrence flags (dup count over columns < row)
+        def first_body(rc, cnt_acc):
+            cjc = cand_col[pl.ds(rc * 128, 128), :]    # (128, 1)
+
+            def dup_body(cc, acc):
+                ckc = cand_row[pl.ds(cc, 1), :]        # (1, 128)
+                colmask = (cc * 128 + lane[0:1, :]) < (rc * 128 + sub)
+                return acc + ((cjc == ckc) & colmask).sum(
+                    axis=1, keepdims=True).astype(jnp.int32)
+
+            dup = jax.lax.fori_loop(
+                0, rc + 1, dup_body, jnp.zeros((128, 1), jnp.int32))
+            first_c = ((cjc != SENTINEL) & (dup == 0)).astype(jnp.int32)
+            first_col[pl.ds(rc * 128, 128), :] = first_c
+            first_row[pl.ds(rc, 1), :] = row_of(first_c, 128)
+            return cnt_acc + first_c.sum()
+
+        cnt = jax.lax.fori_loop(0, n_chunks, first_body,
+                                jnp.zeros((), jnp.int32))
+
+        # pass 2: rank = number of distinct-first candidates strictly below
+        def rank_body(rc, _):
+            cjc = cand_col[pl.ds(rc * 128, 128), :]
+
+            def acc_body(cc, acc):
+                ckc = cand_row[pl.ds(cc, 1), :]
+                fkc = first_row[pl.ds(cc, 1), :] != 0
+                return acc + ((ckc < cjc) & fkc).sum(
+                    axis=1, keepdims=True).astype(jnp.int32)
+
+            rank = jax.lax.fori_loop(
+                0, n_chunks, acc_body, jnp.zeros((128, 1), jnp.int32))
+            rank_col[pl.ds(rc * 128, 128), :] = jnp.where(
+                cjc != SENTINEL, rank, cap_max)
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, rank_body, 0)
+
+        # pass 3: ascending distinct list (one-hot rank scatter per chunk)
+        def list_body(rc, acc):
+            cjc = cand_col[pl.ds(rc * 128, 128), :]
+            first_c = first_col[pl.ds(rc * 128, 128), :] != 0
+            rank_c = rank_col[pl.ds(rc * 128, 128), :]
+            sel = first_c & (rank_c == lane)           # (128, 128)
+            return acc + jnp.where(sel, cjc, 0).sum(axis=0, keepdims=True)
+
+        list_vec = jax.lax.fori_loop(
+            0, n_chunks, list_body, jnp.zeros((1, 128), jnp.int32))
+        cnt_g = jnp.minimum(cnt, cap_g)
+        list_vec = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < cnt_g,
+            list_vec, 0,
+        )
+
+        # pass 4: per-pixel slot/coverage via the block-candidate indirection
+        def pix_body(b, carry):
+            pix_slot, pix_cov = carry
+            m = slotA == b
+            rank_b = rank_col[pl.ds(b * blocks, blocks), :]  # (blocks, 1)
+            pix_slot = jnp.where(m, jnp.minimum(rank_b, cap_g - 1), pix_slot)
+            pix_cov = pix_cov | (m & (rank_b < cap_g))
+            return pix_slot, pix_cov
+
+        pix_slot, pix_cov = jax.lax.fori_loop(
+            0, jnp.minimum(k_star, block_cap), pix_body,
+            (jnp.zeros(pages.shape, jnp.int32), jnp.zeros(pages.shape, bool)),
+        )
+        list_out[0, gi] = list_vec[0]
+        cnt_out[0, gi] = jnp.broadcast_to(cnt_g[None], (128,))
+        slot_out[0, gi] = pix_slot
+        cov_out[0, gi] = (pix_cov & act).astype(jnp.int32)
+
+
+# dynamic kernel: bit-identical in interpret mode (tests); stays off until
+# its Mosaic compile + win are confirmed on hardware (the tunnel was down
+# when it landed) — flip after a TPU run shows it compiles and is faster
+FUSED_COVER_DYNAMIC = False
+
+
 def _fused_cover_pallas(pages, act, caps, block_cap, cap_max,
-                        interpret=False):
+                        interpret=False, dynamic=None):
     tiles, g, blocks, _ = pages.shape
-    kernel = functools.partial(
-        _fused_cover_kernel, block_cap=block_cap, cap_max=cap_max,
-        caps=caps, g=g,
-    )
-    grid_spec = pl.GridSpec(
+    if dynamic is None:
+        dynamic = FUSED_COVER_DYNAMIC
+    n_pad = -(-(blocks * block_cap) // 128) * 128
+    if dynamic:
+        kernel = functools.partial(
+            _fused_cover_kernel_dyn, block_cap=block_cap, cap_max=cap_max,
+            caps=caps, g=g,
+        )
+        scratch = [
+            pltpu.VMEM((n_pad, 1), jnp.int32),      # cand_col
+            pltpu.VMEM((n_pad // 128, 128), jnp.int32),  # cand_row
+            pltpu.VMEM((n_pad, 1), jnp.int32),      # first_col
+            pltpu.VMEM((n_pad // 128, 128), jnp.int32),  # first_row
+            pltpu.VMEM((n_pad, 1), jnp.int32),      # rank_col
+        ]
+    else:
+        kernel = functools.partial(
+            _fused_cover_kernel, block_cap=block_cap, cap_max=cap_max,
+            caps=caps, g=g,
+        )
+        scratch = []
+    return pl.pallas_call(
+        kernel,
         grid=(tiles,),
         in_specs=[
             pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
@@ -458,16 +621,13 @@ def _fused_cover_pallas(pages, act, caps, block_cap, cap_max,
             pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t: (t, 0, 0, 0)),
         ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((tiles, g, 128), jnp.int32),
             jax.ShapeDtypeStruct((tiles, g, 128), jnp.int32),
             jax.ShapeDtypeStruct((tiles, g, blocks, 128), jnp.int32),
             jax.ShapeDtypeStruct((tiles, g, blocks, 128), jnp.int32),
         ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(pages, act.astype(jnp.int32))
 

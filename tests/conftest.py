@@ -34,6 +34,9 @@ SLOW_MODULES = {
 
 SLOW_TESTS = {
     "test_import_e2e.py::test_imported_model_renders",
+    "test_lights_pallas.py::test_pipeline_light_tile_path",
+    "test_raster_pallas.py::test_two_pass_hot_tiles_match_xla",
+    "test_pipeline.py::test_arbitrary_resolution_pad_and_crop",
     "test_sharded.py::test_sharded_with_cache_kernels_matches_single_chip",
     "test_sharded.py::test_sharded_matches_single_chip",
     "test_pipeline.py::test_kernel_paths_match_xla_paths",

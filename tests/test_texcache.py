@@ -245,3 +245,37 @@ def test_anisotropic_beats_trilinear_at_grazing():
     err_aniso = float(np.sqrt(np.mean((aniso - truth) ** 2)))
     err_tri = float(np.sqrt(np.mean((tri - truth) ** 2)))
     assert err_aniso < err_tri * 0.6, (err_aniso, err_tri)
+
+
+def test_fused_cover_dynamic_matches_static():
+    """The dynamically-bounded fused cover kernel (merge loops fori'd over
+    the realized candidate count) must be bit-identical to the static
+    worst-case kernel across sparse, dense, overflowing and empty groups."""
+    rng = np.random.default_rng(31)
+    tiles, g, blocks, block_cap = 3, 3, 24, 16
+    pages = np.zeros((tiles, g, blocks, 128), np.int32)
+    act = np.zeros((tiles, g, blocks, 128), bool)
+    # group 0: sparse coherent (1-3 distinct per row)
+    pages[:, 0] = rng.integers(0, 3, (tiles, blocks, 128))
+    act[:, 0] = rng.random((tiles, blocks, 128)) > 0.1
+    # group 1: adversarial — more distinct per row than block_cap
+    pages[:, 1] = rng.integers(0, 1000, (tiles, blocks, 128))
+    act[:, 1] = True
+    # group 2: empty (all inactive) on tile 0, medium density elsewhere
+    pages[:, 2] = rng.integers(0, 40, (tiles, blocks, 128))
+    act[1:, 2] = rng.random((tiles - 1, blocks, 128)) > 0.5
+    caps = (96, 48, 96)
+
+    outs = {}
+    for dyn in (True, False):
+        outs[dyn] = texcache._fused_cover_pallas(
+            jnp.asarray(pages), jnp.asarray(act), caps, block_cap, 96,
+            interpret=True, dynamic=dyn,
+        )
+    for a, b, name in zip(outs[True], outs[False],
+                          ("list", "cnt", "slot", "cov")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+    # sanity: the sparse group is fully covered, the adversarial one is not
+    cov = np.asarray(outs[True][3]) != 0
+    assert cov[:, 0][act[:, 0]].all()
+    assert not cov[:, 1].all()
