@@ -211,7 +211,7 @@ def _quantize8(x):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "texture_filter", "use_tex_kernel",
-                     "tex_interpret"),
+                     "tex_interpret", "tex_caps"),
 )
 def gbuffer_shade(
     tri_id,       # (H, W) int32 from rasterize
@@ -224,7 +224,19 @@ def gbuffer_shade(
     texture_filter: str = "trilinear",
     use_tex_kernel: bool = False,
     tex_interpret: bool = False,
+    tex_caps: tuple[int, int] | None = None,
 ) -> GBuffer:
+    interp, matrow, mask = interp_from_rows(tri_id, tri_rows, width, height,
+                                            y_offset)
+    return _shade_from_interp(interp, matrow, mask, depth, atlas,
+                              texture_filter, use_tex_kernel, tex_interpret,
+                              tex_caps)
+
+
+def interp_from_rows(tri_id, tri_rows, width, height, y_offset=0):
+    """Per-pixel (interpolants (H, W, 8), material row (H, W, 16), mask) from
+    the rasterized id map + packed 64-f32 triangle rows — the gather path's
+    attribute stage, also used stand-alone by tools/tap_census.py."""
     mask = tri_id >= 0
     tid = jnp.maximum(tri_id, 0)
 
@@ -240,27 +252,66 @@ def gbuffer_shade(
 
     attrs = row[..., 32:56].reshape(*row.shape[:-1], 3, 8)
     interp = (attrs * lam_p[..., None]).sum(-2)  # (H, W, 8)
-    return _shade_from_interp(interp, row[..., 16:32], mask, depth, atlas,
-                              texture_filter, use_tex_kernel, tex_interpret)
+    return interp, row[..., 16:32], mask
 
 
 def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
                          texture_filter: str = "trilinear",
                          use_tex_kernel: bool = False,
-                         tex_interpret: bool = False) -> GBuffer:
+                         tex_interpret: bool = False,
+                         tex_caps: tuple[int, int] | None = None) -> GBuffer:
     """G-buffer from the Pallas interpolation kernel's (24, H, W) planes —
     zero per-pixel attribute gathers (only the texture-atlas taps remain)."""
     mask = tri_id >= 0
     interp = jnp.moveaxis(planes[0:8], 0, -1)   # (H, W, 8)
     matrow = jnp.moveaxis(planes[8:24], 0, -1)  # (H, W, 16)
     return _shade_from_interp(interp, matrow, mask, depth, atlas,
-                              texture_filter, use_tex_kernel, tex_interpret)
+                              texture_filter, use_tex_kernel, tex_interpret,
+                              tex_caps)
+
+
+def tap_lod(uv, tex, mask, atlas: AtlasDevice, use_tex_kernel=True):
+    """Per-slot mip LOD from the pixel-quad uv derivatives (gbuffer.hlsl's
+    implicit Sample LOD): (ddx, ddy, size5, lod5). Shared by the shade path
+    and the tap census so cap sizing measures the exact kernel addressing."""
+    ddx, ddy = _quad_derivatives(uv)
+    if use_tex_kernel:
+        from . import texcache
+
+        # per-pixel texture dims via one-hot MXU, not an XLA gather
+        # (~15x faster at frame scale; tools/bench_texcache2.py)
+        size5 = texcache.onehot_lookup(
+            atlas.base_size.astype(jnp.float32), tex
+        )
+    else:
+        size5 = atlas.base_size[tex].astype(jnp.float32)     # (H, W, 5, 2)
+    gx = ddx[..., None, :] * size5
+    gy = ddy[..., None, :] * size5
+    rx2 = (gx * gx).sum(-1)
+    ry2 = (gy * gy).sum(-1)
+    rho2 = jnp.maximum(rx2, ry2)                              # (H, W, 5)
+    lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+    lod5 = jnp.where(mask[..., None], lod5, 99.0)  # background -> last mip
+    return ddx, ddy, size5, lod5
+
+
+def tap_query(interp, matrow, mask, atlas: AtlasDevice, use_tex_kernel=True):
+    """(tex, u, v, lod5, active) exactly as the texture-cache kernel path
+    samples them — the front end of `texcache.tap_census`, kept next to the
+    shade path so the two can never drift."""
+    interp = jnp.where(mask[..., None], interp, 0.0)
+    uv = interp[..., 0:2]
+    use = matrow[..., 6:11] > 0.5
+    tex = jnp.maximum(matrow[..., 11:16].astype(jnp.int32), 0)
+    _, _, _, lod5 = tap_lod(uv, tex, mask, atlas, use_tex_kernel)
+    return tex, uv[..., 0], uv[..., 1], lod5, use & mask[..., None]
 
 
 def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
                        texture_filter: str = "trilinear",
                        use_tex_kernel: bool = False,
-                       tex_interpret: bool = False) -> GBuffer:
+                       tex_interpret: bool = False,
+                       tex_caps: tuple[int, int] | None = None) -> GBuffer:
     # background pixels otherwise carry garbage interpolants -> random fetch
     # addresses; pinning them to one coarse texel keeps those fetches (up to
     # half the frame is sky) on a single hot line
@@ -281,24 +332,7 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
     # uv derivatives -> per-texture LOD (texel-space gradient length, log2).
     # All five material slots sample through ONE vectorized trilinear call
     # (slot axis batched) — 5x less emitted gather code, bigger fused fetches.
-    ddx, ddy = _quad_derivatives(uv)
-    if use_tex_kernel:
-        from . import texcache
-
-        # per-pixel texture dims via one-hot MXU, not an XLA gather
-        # (~15x faster at frame scale; tools/bench_texcache2.py)
-        size5 = texcache.onehot_lookup(
-            atlas.base_size.astype(jnp.float32), tex
-        )
-    else:
-        size5 = atlas.base_size[tex].astype(jnp.float32)     # (H, W, 5, 2)
-    gx = ddx[..., None, :] * size5
-    gy = ddy[..., None, :] * size5
-    rx2 = (gx * gx).sum(-1)
-    ry2 = (gy * gy).sum(-1)
-    rho2 = jnp.maximum(rx2, ry2)                              # (H, W, 5)
-    lod5 = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
-    lod5 = jnp.where(mask[..., None], lod5, 99.0)  # background -> last mip
+    ddx, ddy, size5, lod5 = tap_lod(uv, tex, mask, atlas, use_tex_kernel)
 
     approx_count = None
     if texture_filter == "anisotropic":
@@ -306,10 +340,15 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
             atlas, tex, uv, ddx, ddy, size5, mask
         )                                                     # (H, W, 5, 4)
     elif use_tex_kernel:
+        from . import texcache
+
+        cap_kw = {}
+        if tex_caps is not None:
+            cap_kw = {"cap_lo": tex_caps[0], "cap_hi": tex_caps[1]}
         samples, approx = texcache.sample_atlas_textured(
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],
-            filter=texture_filter, interpret=tex_interpret,
+            filter=texture_filter, interpret=tex_interpret, **cap_kw,
         )  # (H, W, 5, 4)
         approx_count = approx.sum().astype(jnp.int32)
     else:

@@ -163,6 +163,29 @@ def _tap_addresses(base_w, base_h, page_base, mip, u, v):
     return page, intra, fx, fy
 
 
+def _mip_plan(atlas, tex, lod, trilinear):
+    """Per-pixel texture-table lookup + mip selection shared by the sampling
+    kernel and the tap census: (base_w, base_h, page-base rows, fallback page,
+    [mip_lo(, mip_hi)], trilinear frac)."""
+    table = fused_tex_table(atlas)
+    row0 = onehot_lookup(table, tex)            # (H, W, 5, 4+MAX_MIPS)
+    n_mips_t = row0[..., 0].astype(jnp.int32)
+    base_w = row0[..., 1].astype(jnp.int32)
+    base_h = row0[..., 2].astype(jnp.int32)
+    fb_page = row0[..., 3].astype(jnp.int32)
+    pb = row0[..., 4:]
+    lod = jnp.clip(lod, 0.0, (n_mips_t - 1).astype(jnp.float32))
+    if trilinear:
+        m_lo = jnp.floor(lod).astype(jnp.int32)
+        tfrac = lod - m_lo
+        mips = [m_lo, jnp.minimum(m_lo + 1, n_mips_t - 1)]
+    else:
+        m_lo = jnp.round(lod).astype(jnp.int32)
+        tfrac = jnp.zeros_like(lod)
+        mips = [m_lo]
+    return base_w, base_h, pb, fb_page, mips, tfrac
+
+
 def _cover_and_match(pages, act, cap, block_cap: int | None = None,
                      kernel: bool = False, interpret: bool = False):
     """pages/act: (tiles, g, blocks, 128). Extract up to `cap` distinct page
@@ -821,21 +844,9 @@ def sample_atlas_tiled(
 
     u5 = jnp.broadcast_to(u[..., None], tex.shape)
     v5 = jnp.broadcast_to(v[..., None], tex.shape)
-    table = fused_tex_table(atlas)
-    row0 = onehot_lookup(table, tex)            # (H, W, 5, 4+MAX_MIPS)
-    n_mips_t = row0[..., 0].astype(jnp.int32)
-    base_w = row0[..., 1].astype(jnp.int32)
-    base_h = row0[..., 2].astype(jnp.int32)
-    pb = row0[..., 4:]
-    lod = jnp.clip(lod, 0.0, (n_mips_t - 1).astype(jnp.float32))
-    if trilinear:
-        m_lo = jnp.floor(lod).astype(jnp.int32)
-        tfrac = lod - m_lo
-        mips = [m_lo, jnp.minimum(m_lo + 1, n_mips_t - 1)]
-    else:
-        m_lo = jnp.round(lod).astype(jnp.int32)
-        tfrac = jnp.zeros_like(lod)
-        mips = [m_lo]
+    base_w, base_h, pb, fb_page0, mips, tfrac = _mip_plan(
+        atlas, tex, lod, trilinear
+    )
 
     def tile_g(x):  # (H, W, 5) -> (tiles, 5, blocks, 128)
         return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
@@ -844,7 +855,7 @@ def sample_atlas_tiled(
 
     # guaranteed fallback tap: the coarsest mip (1x1 — the texture's average
     # color). Addressing at w == h == 1 needs no further table data.
-    fb_page = row0[..., 3].astype(jnp.int32)
+    fb_page = fb_page0
     fb_fx = (u5 - 0.5) - jnp.floor(u5 - 0.5)
     fb_fy = (v5 - 0.5) - jnp.floor(v5 - 0.5)
     fb_list, _, fb_slot, fb_found = _cover_and_match(
@@ -958,6 +969,8 @@ def sample_atlas_textured(
     filter: str = "trilinear",
     block_cap: int | None = 16,
     interpret: bool = False,
+    cap_lo: int = 92,
+    cap_hi: int = 44,
 ):
     """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
     covered taps (>99.4% at 1080p, typically 100% at test sizes), coarsest-mip
@@ -973,7 +986,7 @@ def sample_atlas_textured(
     rgba, covered, approx = sample_atlas_tiled(
         atlas, tex, u, v, lod, active,
         filter=filter, tile_h=tile[0], tile_w=tile[1], block_cap=block_cap,
-        interpret=interpret,
+        interpret=interpret, cap_lo=cap_lo, cap_hi=cap_hi,
     )
     # sRGB flag via a tiny one-hot matmul (no per-pixel gather)
     srgb = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex)
@@ -983,3 +996,109 @@ def sample_atlas_textured(
     lin = common.srgb_eotf(rgba[..., :3])
     rgb = jnp.where(srgb[..., None], lin, rgba[..., :3])
     return jnp.concatenate([rgb, rgba[..., 3:]], -1), approx
+
+
+# ------------------------------------------------------------- census -----
+def tap_census(
+    atlas: gbuffer.AtlasDevice,
+    tex, u, v, lod, active,
+    filter: str = "trilinear",
+    tile_h: int | None = None,
+    tile_w: int | None = None,
+):
+    """Measure realized distinct-page demand per (tile, slot, mip-half).
+
+    The cache's page budgets (`cap_lo`/`cap_hi`) shape BOTH the per-frame
+    staging gather (budget x 2 KB x tiles) and the cover kernel's merge cost,
+    so over-provisioned caps are pure waste: the defaults (92/44) are sized
+    for worst-case content while the reference scene realizes ~1/3 of that.
+    This host-side probe runs the exact kernel addressing (`_mip_plan` +
+    `_tap_addresses`) over a frame's tap stream and reports, for each
+    trilinear half, the max / p99 distinct pages over all (tile, slot)
+    groups plus a SEG_CHUNK-aligned recommended cap. Feed the result into
+    `RenderConfig.tex_cap_lo/hi` (tools/tap_census.py drives it end to end).
+
+    Under-provisioned caps degrade gracefully (coarsest-mip average color,
+    counted by the `tex_approx` honesty stat) — recommendations add the
+    caller-visible headroom so camera motion within a scene stays covered.
+    """
+    import numpy as np
+
+    height, width = u.shape
+    if tile_h is None or tile_w is None:
+        t = pick_tile(height, width)
+        if t is None:
+            raise ValueError(f"no cache tiling for {width}x{height}")
+        tile_h, tile_w = t
+    trilinear = filter != "bilinear"
+    p = tile_h * tile_w
+    blocks = -(-p // 128)
+    blocks += (-blocks) % 8
+
+    u5 = jnp.broadcast_to(u[..., None], tex.shape)
+    v5 = jnp.broadcast_to(v[..., None], tex.shape)
+    base_w, base_h, pb, _fb, mips, _tf = _mip_plan(atlas, tex, lod, trilinear)
+
+    def tile_g(x):  # (H, W, 5) -> (tiles, 5, blocks, 128)
+        return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
+
+    act_t = tile_g(active)
+    out = {}
+    tile_spans = None
+    for name, m in zip(("lo", "hi"), mips):
+        page, _, _, _ = _tap_addresses(base_w, base_h, select_mip(pb, m), m,
+                                       u5, v5)
+        pg = jnp.where(act_t, tile_g(page), SENTINEL)
+        tiles_n, g = pg.shape[:2]
+        flat = jnp.sort(pg.reshape(tiles_n * g, blocks * 128), axis=-1)
+        first = flat[:, :1] != SENTINEL
+        rest = (flat[:, 1:] != flat[:, :-1]) & (flat[:, 1:] != SENTINEL)
+        counts = np.asarray(first.sum(-1) + rest.sum(-1))  # (tiles*g,)
+        out[name] = {
+            "max": int(counts.max()),
+            "p99": int(np.percentile(counts, 99)),
+            "mean": float(counts.mean()),
+        }
+        # per-group staged span in the compact layout: [fb|cover] rounded to
+        # the SEG_CHUNK sweep granularity
+        span = (-(-(CAP_FB + counts.reshape(tiles_n, g))
+                  // SEG_CHUNK) * SEG_CHUNK)
+        tile_spans = span if tile_spans is None else tile_spans + span
+        if not trilinear:
+            out["hi"] = {"max": 0, "p99": 0, "mean": 0.0}
+    totals = tile_spans.sum(-1)                        # (tiles,)
+    out["tile_total"] = {
+        "max": int(totals.max()),
+        "p99": int(np.percentile(totals, 99)),
+        "mean": float(totals.mean()),
+    }
+    return out
+
+
+def recommend_caps(census_frames, headroom: float = 1.5):
+    """Fold per-frame `tap_census` results into (cap_lo, cap_hi).
+
+    Takes the max demand over all sampled frames, multiplies by `headroom`
+    (camera poses between samples), and aligns so (cap + CAP_FB) is a
+    SEG_CHUNK multiple as `sample_atlas_tiled` requires. Never exceeds the
+    built-in defaults (92/44) — beyond those the defaults are already the
+    measured worst-case-content sizing."""
+    def align(demand, default):
+        want = -(-(int(demand * headroom) + CAP_FB) // SEG_CHUNK) * SEG_CHUNK
+        return max(SEG_CHUNK - CAP_FB, min(want - CAP_FB, default))
+
+    max_lo = max(c["lo"]["max"] for c in census_frames)
+    max_hi = max(c["hi"]["max"] for c in census_frames)
+    return align(max_lo, 92), align(max_hi, 44)
+
+
+def recommend_budget(census_frames, headroom: float = 1.5) -> int:
+    """Compact-staging per-tile page budget from `tap_census` results.
+
+    Demand is heavy-tailed (reference scene @1080p: mean ~5 pages/group vs
+    the 92-page worst-case cap), so staging shaped by the realized per-tile
+    TOTAL span is ~4-7x smaller than cap-shaped staging. Returns a
+    SEG_CHUNK-aligned budget ≥ the worst sampled tile total x headroom."""
+    worst = max(c["tile_total"]["max"] for c in census_frames)
+    b = -(-int(worst * headroom) // SEG_CHUNK) * SEG_CHUNK
+    return max(b, 16 * SEG_CHUNK)

@@ -67,6 +67,7 @@ class DeferredRenderPipeline:
         pallas_interpret: bool = False,
         light_tile: tuple | None = None,
         light_cap: int | None = None,
+        tex_caps: tuple[int, int] | None = None,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -92,6 +93,11 @@ class DeferredRenderPipeline:
             light_cap = max(128, -(-min(max_active_lights, 1024) // 128) * 128)
         self.light_cap = light_cap
         self.texture_filter = texture_filter
+        # texture-cache page budgets (cap_lo, cap_hi): sized by the tap
+        # census (tools/tap_census.py) per scene; None keeps the
+        # worst-case-content defaults. Under-sized caps degrade to the
+        # counted coarsest-mip fallback, never corruption.
+        self.tex_caps = tex_caps
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
@@ -252,6 +258,7 @@ class DeferredRenderPipeline:
                     tri_id, depth, planes, env["atlas"], self.texture_filter,
                     use_tex_kernel=self.use_tex_kernel,
                     tex_interpret=self.pallas_interpret,
+                    tex_caps=self.tex_caps,
                 )
                 return {
                     "GBufferA": gb.albedo_emission,
@@ -273,6 +280,7 @@ class DeferredRenderPipeline:
                 texture_filter=self.texture_filter,
                 use_tex_kernel=self.use_tex_kernel,
                 tex_interpret=self.pallas_interpret,
+                tex_caps=self.tex_caps,
             )
             return {
                 "GBufferA": gb.albedo_emission,

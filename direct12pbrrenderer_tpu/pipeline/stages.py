@@ -105,7 +105,8 @@ def rasterize_interp(setup, bins, buffers, vattrs, width: int, band_h: int,
 def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
                   band_h: int, texture_filter: str, y_offset=0,
                   use_tex_kernel: bool = False,
-                  tex_interpret: bool = False) -> gbuffer.GBuffer:
+                  tex_interpret: bool = False,
+                  tex_caps: tuple[int, int] | None = None) -> gbuffer.GBuffer:
     # one 256 B row per triangle carrying EVERYTHING pixel shading needs
     # (edge/bary coefficients, material constants, the 3 vertex attribute
     # rows) -> the per-pixel stage issues ONE gather instead of four
@@ -117,6 +118,7 @@ def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
         tri_id, depth, tri_rows, buffers["atlas"],
         width, band_h, y_offset=y_offset, texture_filter=texture_filter,
         use_tex_kernel=use_tex_kernel, tex_interpret=tex_interpret,
+        tex_caps=tex_caps,
     )
 
 

@@ -279,3 +279,73 @@ def test_fused_cover_dynamic_matches_static():
     cov = np.asarray(outs[True][3]) != 0
     assert cov[:, 0][act[:, 0]].all()
     assert not cov[:, 1].all()
+
+
+def test_tap_census_recommend_covers():
+    """Caps sized by the census (headroom 1.0) must fully cover the same
+    frame: zero approx taps at the recommended caps, and >0 approx taps one
+    SEG_CHUNK below realized demand — pinning the census against the kernel's
+    actual cover behavior from both sides."""
+    rng = np.random.default_rng(11)
+    atlas = _build_atlas(rng, [(64, 64, False), (32, 16, True),
+                               (128, 64, False)])
+    h, w = 24, 128
+    # coherent working set (one texture per slot, smooth uv ramp, uniform
+    # LOD): realized demand well below the worst-case defaults, as on real
+    # frames
+    tex = jnp.broadcast_to(
+        jnp.arange(5, dtype=jnp.int32)[None, None, :] % 3, (h, w, 5)
+    )
+    yy, xx = jnp.meshgrid(jnp.arange(h) / h, jnp.arange(w) / w, indexing="ij")
+    u = xx.astype(jnp.float32) * 0.9
+    v = yy.astype(jnp.float32) * 0.9
+    lod = jnp.full((h, w, 5), 1.3, jnp.float32)
+    active = jnp.asarray(rng.random((h, w, 5)) > 0.2)
+
+    census = texcache.tap_census(atlas, tex, u, v, lod, active,
+                                 tile_h=24, tile_w=128)
+    assert census["lo"]["max"] >= 1
+    assert census["lo"]["max"] >= census["lo"]["p99"]
+
+    cap_lo, cap_hi = texcache.recommend_caps([census], headroom=1.0)
+    assert (cap_lo + texcache.CAP_FB) % texcache.SEG_CHUNK == 0
+    assert (cap_hi + texcache.CAP_FB) % texcache.SEG_CHUNK == 0
+    assert cap_lo >= census["lo"]["max"]
+    assert cap_hi >= census["hi"]["max"]
+
+    _, covered, approx = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, filter="trilinear", interpret=True,
+        cap_lo=cap_lo, cap_hi=cap_hi, block_cap=None,
+    )
+    assert np.asarray(approx)[np.asarray(active)].sum() == 0
+    assert np.asarray(covered)[np.asarray(active)].all()
+
+    # one SEG_CHUNK below demand must overflow (and be counted honestly)
+    starve = max(texcache.SEG_CHUNK - texcache.CAP_FB,
+                 cap_lo - texcache.SEG_CHUNK)
+    if starve < census["lo"]["max"]:
+        _, _, approx2 = texcache.sample_atlas_tiled(
+            atlas, tex, u, v, lod, active, filter="trilinear", interpret=True,
+            cap_lo=starve, cap_hi=cap_hi, block_cap=None,
+        )
+        assert np.asarray(approx2)[np.asarray(active)].sum() > 0
+
+
+def test_tap_census_multi_frame_fold():
+    """recommend_caps folds multiple poses (max over frames) and never
+    exceeds the worst-case defaults."""
+    rng = np.random.default_rng(13)
+    atlas = _build_atlas(rng, [(64, 64, False), (32, 16, True),
+                               (128, 64, False)])
+    h, w = 24, 128
+    frames = []
+    for seed in (1, 2):
+        r = np.random.default_rng(seed)
+        tex, u, v, lod, active = _random_case(r, h, w, 3)
+        frames.append(texcache.tap_census(atlas, tex, u, v, lod, active,
+                                          tile_h=24, tile_w=128))
+    cap_lo, cap_hi = texcache.recommend_caps(frames, headroom=2.0)
+    assert cap_lo <= 92 and cap_hi <= 44  # adversarial content -> defaults
+    single = texcache.recommend_caps(frames[:1], headroom=1.0)
+    both = texcache.recommend_caps(frames, headroom=1.0)
+    assert both[0] >= single[0] or both[0] == 92
