@@ -345,6 +345,8 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
         cap_kw = {}
         if tex_caps is not None:
             cap_kw = {"cap_lo": tex_caps[0], "cap_hi": tex_caps[1]}
+            if len(tex_caps) > 2:
+                cap_kw["stage_budget"] = tex_caps[2]
         samples, approx = texcache.sample_atlas_textured(
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],

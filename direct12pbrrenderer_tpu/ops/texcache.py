@@ -731,12 +731,14 @@ def _cover_and_match_2level(pages, act, cap, block_cap, kernel=False,
 
 
 # --------------------------------------------------------------- kernel ----
-def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref, out_ref, *,
-            blocks, caps, bases, trilinear):
+def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
+            out_ref, *, blocks, trilinear):
     """Per tile: resolve all (5 slots x halves) taps against staged pages.
 
+    off: (tiles, G) group start rows in the compact staged block (scalar
+         prefetch; SEG_CHUNK-aligned — demand-shaped layout, not cap-shaped)
     cnt: (tiles, G) page counts (scalar prefetch)
-    tbl: (1, CAPT*4, 128) i32 — page p channel c at row p*4+c
+    tbl: (1, B*4, 128) i32 — page p channel c at row p*4+c
     rec/fx/fy: (1, G, blocks, 128); tl: (1, 5, blocks, 128)
     out: (1, 5, 4, blocks, 128) f32 storage-space rgba
     """
@@ -746,7 +748,7 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref, out_ref, *,
         acc = None
         for hi in range(n_halves):
             g = hi * 5 + s
-            base, cap = bases[g], caps[g]
+            base = off_ref[t, g]
             rec = rec_ref[0, g]                        # (blocks, 128)
             seg = rec >> 7
             lane = rec & 127
@@ -805,7 +807,7 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("filter", "tile_h", "tile_w", "cap_lo", "cap_hi",
-                     "block_cap", "interpret"),
+                     "block_cap", "interpret", "stage_budget"),
 )
 def sample_atlas_tiled(
     atlas: gbuffer.AtlasDevice,
@@ -821,6 +823,7 @@ def sample_atlas_tiled(
     cap_hi: int = 44,
     block_cap: int | None = 16,
     interpret: bool = False,
+    stage_budget: int | None = None,
 ):
     """Kernel-path sampling. Returns (rgba (H, W, 5, 4) storage-space,
     covered (H, W, 5) bool, approx (H, W, 5) bool).
@@ -880,59 +883,104 @@ def sample_atlas_tiled(
              found)
         )
 
-    # a tap is exact only if EVERY mip half made its cover; otherwise the
-    # WHOLE tap resolves via the fallback page (never a half-blend), so
-    # `approx` taps are exactly the coarsest-mip average color
-    covered_t = halves[0][6]
-    if trilinear:
-        covered_t = covered_t & halves[1][6]
-    resolved_t = covered_t | fb_found
+    # a tap is exact only if EVERY mip half made its cover (and fits the
+    # staged budget, below); otherwise the WHOLE tap resolves via the
+    # fallback page (never a half-blend), so `approx` taps are exactly the
+    # coarsest-mip average color
+    # ---- compact (demand-shaped) staging layout --------------------------
+    # Realized demand is heavy-tailed (reference scene @1080p: mean ~5
+    # pages/group vs the 92-page cap — tools/tap_census.py), so the staged
+    # block packs each group's [fb(4)|cover(count)] at a dynamic
+    # SEG_CHUNK-aligned offset under a per-tile budget B instead of staging
+    # cap-shaped spans: the 2 KB-row staging gather shrinks ~4-7x at the
+    # census-recommended budget and the kernel's VMEM block with it. Offsets
+    # ride the scalar-prefetch path; a group whose span no longer fits is
+    # truncated (its over-slot taps fall back, counted in `approx`), and the
+    # sequential clamp below reserves SEG_CHUNK rows per group so the 4
+    # fallback pages ALWAYS fit — budget pressure can degrade taps to the
+    # coarsest-mip average but never to garbage reads.
+    n_halves = len(halves)
+    G = n_halves * 5
+    caps_half = (cap_lo, cap_hi)[:n_halves]
 
-    ids, cnts, recs, fxs, fys = [], [], [], [], []
-    for page_list, count, slot, intra_t, fx_t1, fy_t1, _found in halves:
+    def align8(x):
+        return -(-x // SEG_CHUNK) * SEG_CHUNK
+
+    span_max_h = [align8(CAP_FB + c) for c in caps_half]
+    full_budget = 5 * sum(span_max_h)
+    B = full_budget if stage_budget is None else min(stage_budget, full_budget)
+    assert B % SEG_CHUNK == 0 and B >= SEG_CHUNK * G
+
+    counts_all = jnp.concatenate([h[1] for h in halves], axis=1)  # (tiles, G)
+    span_want = align8(CAP_FB + counts_all)
+    offs, spans = [], []
+    off = jnp.zeros((n_tiles,), jnp.int32)
+    for gi in range(G):
+        reserve = SEG_CHUNK * (G - 1 - gi)
+        s_eff = jnp.minimum(span_want[:, gi], B - off - reserve)
+        offs.append(off)
+        spans.append(s_eff)
+        off = off + s_eff
+    off_arr = jnp.stack(offs, axis=1)                  # (tiles, G)
+    span_arr = jnp.stack(spans, axis=1)
+    count_eff = jnp.minimum(counts_all, span_arr - CAP_FB)
+
+    # budget truncation joins the cover condition: a tap is exact only if its
+    # page made the cover AND the cover slot still fits the staged span
+    covered_t = None
+    for hi, h in enumerate(halves):
+        ce = count_eff[:, hi * 5:(hi + 1) * 5][..., None, None]
+        f = h[6] & (h[2] < ce)
+        covered_t = f if covered_t is None else covered_t & f
+
+    cnts, recs, fxs, fys, ids_fullG = [], [], [], [], []
+    span_maxG = max(span_max_h)
+    for hi, (page_list, count, slot, intra_t, fx_t1, fy_t1, _found) in \
+            enumerate(halves):
         recs.append(jnp.where(covered_t, (CAP_FB + slot) * 128 + intra_t,
                               fb_slot_t * 128))
         fxs.append(jnp.where(covered_t, fx_t1, fb_fx_t))
         fys.append(jnp.where(covered_t, fy_t1, fb_fy_t))
-        ids.append(jnp.concatenate([fb_list, page_list],
-                                   axis=-1).reshape(n_tiles, -1))
-        cnts.append(CAP_FB + count)
+        idg = jnp.concatenate([fb_list, page_list], axis=-1)
+        pad = span_maxG - idg.shape[-1]
+        if pad:
+            idg = jnp.pad(idg, ((0, 0), (0, 0), (0, pad)))
+        ids_fullG.append(idg)
+        cnts.append(CAP_FB + count_eff[:, hi * 5:(hi + 1) * 5])
     rec_t = jnp.concatenate(recs, axis=1)
     fx_t = jnp.concatenate(fxs, axis=1)
     fy_t = jnp.concatenate(fys, axis=1)
-    ids = jnp.concatenate(ids, axis=1)                 # (tiles, CAPT)
     cnts = jnp.concatenate(cnts, axis=1)               # (tiles, G)
-    capt = ids.shape[1]
+    ids_fullG = jnp.concatenate(ids_fullG, axis=1)     # (tiles, G, span_maxG)
+
+    # pack: scatter each group's rows to its offset (unique destinations by
+    # construction; truncated rows land on the dump column B, sliced off)
+    j = jnp.arange(span_maxG, dtype=jnp.int32)
+    dst = off_arr[..., None] + j
+    dst = jnp.where(j[None, None, :] < span_arr[..., None], dst, B)
+    ids = jnp.zeros((n_tiles, B + 1), jnp.int32).at[
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None, None], dst
+    ].set(ids_fullG)[:, :B]
 
     # stage: one gather of 2 KB page rows, then channel-major for the kernel
     n_pages = atlas.data.shape[0] // 128
     pages_view = atlas.data.reshape(n_pages, 128, 4)
     staged = jnp.take(pages_view, ids.reshape(-1), axis=0)
-    staged = staged.reshape(n_tiles, capt, 128, 4).transpose(0, 1, 3, 2)
+    staged = staged.reshape(n_tiles, B, 128, 4).transpose(0, 1, 3, 2)
     staged = jax.lax.bitcast_convert_type(
-        staged.reshape(n_tiles, capt * 4, 128), jnp.int32
+        staged.reshape(n_tiles, B * 4, 128), jnp.int32
     )
 
     g = rec_t.shape[1]
-    span = {0: cap_lo + CAP_FB, 1: cap_hi + CAP_FB}
-    caps = tuple(
-        span[0] if gi < 5 else span[1] for gi in range(g)
-    )
-    bases = []
-    off = 0
-    for gi in range(g):
-        bases.append(off)
-        off += caps[gi]
     tl_t = tile_g(tfrac)
     kernel = functools.partial(
-        _kernel, blocks=blocks, caps=caps, bases=tuple(bases),
-        trilinear=trilinear,
+        _kernel, blocks=blocks, trilinear=trilinear,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, capt * 4, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, B * 4, 128), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
@@ -952,14 +1000,14 @@ def sample_atlas_tiled(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cnts, staged, rec_t, fx_t, fy_t, tl_t)
+    )(off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t)
 
     rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
                         (2, 3))                        # (H, W, 5, 4)
     covered = jnp.moveaxis(
         _untile(covered_t, height, width, tile_h, tile_w), 0, -1
     )
-    del resolved_t  # approx must also count fb-budget overflows (see docstring)
+    # approx also counts fb-budget overflows (see docstring)
     return rgba, covered, active & ~covered
 
 
@@ -971,6 +1019,7 @@ def sample_atlas_textured(
     interpret: bool = False,
     cap_lo: int = 92,
     cap_hi: int = 44,
+    stage_budget: int | None = None,
 ):
     """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
     covered taps (>99.4% at 1080p, typically 100% at test sizes), coarsest-mip
@@ -987,6 +1036,7 @@ def sample_atlas_textured(
         atlas, tex, u, v, lod, active,
         filter=filter, tile_h=tile[0], tile_w=tile[1], block_cap=block_cap,
         interpret=interpret, cap_lo=cap_lo, cap_hi=cap_hi,
+        stage_budget=stage_budget,
     )
     # sRGB flag via a tiny one-hot matmul (no per-pixel gather)
     srgb = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex)

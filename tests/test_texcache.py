@@ -349,3 +349,45 @@ def test_tap_census_multi_frame_fold():
     single = texcache.recommend_caps(frames[:1], headroom=1.0)
     both = texcache.recommend_caps(frames, headroom=1.0)
     assert both[0] >= single[0] or both[0] == 92
+
+
+def test_stage_budget_truncation_and_exactness():
+    """Compact staging under a reduced budget: covered taps stay bit-equal to
+    the XLA sampler; budget-starved taps degrade to the counted fallback."""
+    rng = np.random.default_rng(17)
+    atlas = _build_atlas(rng, [(64, 64, False), (32, 16, True),
+                               (128, 64, False)])
+    h, w = 24, 128
+    tex, u, v, lod, active = _random_case(rng, h, w, 3)
+
+    full, cov_full, apx_full = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, filter="trilinear", interpret=True,
+        cap_lo=156, cap_hi=52, block_cap=None,
+    )
+    ref = gbuffer.sample_atlas_raw(
+        atlas, tex, u[..., None], v[..., None], lod, filter="trilinear"
+    )
+
+    # a generous budget must not change anything (spans all fit)
+    big, cov_big, apx_big = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, filter="trilinear", interpret=True,
+        cap_lo=156, cap_hi=52, block_cap=None,
+        stage_budget=5 * 160 + 5 * 56,
+    )
+    assert np.array_equal(np.asarray(full), np.asarray(big))
+    assert np.array_equal(np.asarray(cov_full), np.asarray(cov_big))
+
+    # a starved budget truncates: fewer covered taps, all still bit-exact,
+    # the rest counted in approx (and resolving to the 1x1 fallback color)
+    small_b = texcache.SEG_CHUNK * 10 * 2  # 2 chunks per group on average
+    sm, cov_sm, apx_sm = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, filter="trilinear", interpret=True,
+        cap_lo=156, cap_hi=52, block_cap=None, stage_budget=small_b,
+    )
+    cov = np.asarray(cov_sm)
+    assert cov.sum() < np.asarray(cov_full).sum()
+    np.testing.assert_allclose(
+        np.asarray(sm)[cov], np.asarray(ref)[cov], atol=1e-6
+    )
+    act = np.asarray(active)
+    assert np.array_equal(np.asarray(apx_sm), act & ~cov)
