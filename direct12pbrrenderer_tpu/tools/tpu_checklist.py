@@ -1,0 +1,105 @@
+"""One-pass TPU measurement checklist for the round-3 gated changes.
+
+Several round-3 changes landed while the TPU tunnel was down and are gated
+off (or defaulted conservatively) pending hardware numbers. This script runs
+every pending A/B on the real reference scene in one go and prints one JSON
+line per measurement, so the flip decisions are a single run away when the
+tunnel returns:
+
+  1. frame_baseline      — full-frame fps at the bench config (sanity anchor)
+  2. fused_cover_dynamic — texcache cover kernel: static vs realized-bound
+                           merge loops (texcache.FUSED_COVER_DYNAMIC)
+  3. stage_budget        — demand-shaped staging at census budgets vs the
+                           cap-shaped full layout (fps + approx-tap honesty)
+
+Usage: python -m direct12pbrrenderer_tpu.tools.tpu_checklist [--width ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def fps_of(pipe, camera, frames=6):
+    np.asarray(pipe.render(camera, collect_stats=False))
+    np.asarray(pipe.render(camera, collect_stats=False))
+    t0 = time.perf_counter()
+    img = None
+    for _ in range(frames):
+        img = pipe.render(camera, 1.0 / 60.0, collect_stats=False)
+    np.asarray(img)
+    return frames / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--asset-root", default="/root/reference/DeferredRendering")
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=6)
+    ap.add_argument("--only", default=None,
+                    help="comma list: baseline,dyncover,budget")
+    args = ap.parse_args()
+    sel = set(args.only.split(",")) if args.only else None
+
+    from ..app.app import App, AppConfig
+    from ..ops import texcache
+    from ..pipeline.deferred import DeferredRenderPipeline
+
+    app = App(AppConfig(
+        asset_root=args.asset_root, width=args.width, height=args.height,
+        tile_h=24, tile_w=128, bin_cap=2048,
+    ))
+    scene, cam, cfg = app.scene, app.camera, app.pipeline.config
+
+    def mk(**kw):
+        return DeferredRenderPipeline(
+            scene, cfg, tile_h=24, tile_w=128, bin_cap=2048, **kw
+        )
+
+    results = {}
+
+    if sel is None or "baseline" in sel:
+        results["frame_baseline"] = {"fps": round(fps_of(
+            app.pipeline, cam, args.frames), 3)}
+        print(json.dumps({"check": "frame_baseline",
+                          **results["frame_baseline"]}), flush=True)
+
+    if sel is None or "dyncover" in sel:
+        # flip the module flag; fresh pipelines -> fresh traces either way
+        for flag in (False, True):
+            texcache.FUSED_COVER_DYNAMIC = flag
+            jax.clear_caches()
+            try:
+                fps = round(fps_of(mk(), cam, args.frames), 3)
+                err = None
+            except Exception as e:  # Mosaic compile failure is a result too
+                fps, err = None, f"{type(e).__name__}: {e}"[:300]
+            key = f"fused_cover_dynamic_{'on' if flag else 'off'}"
+            results[key] = {"fps": fps, "error": err}
+            print(json.dumps({"check": key, **results[key]}), flush=True)
+        texcache.FUSED_COVER_DYNAMIC = False
+        jax.clear_caches()
+
+    if sel is None or "budget" in sel:
+        # census (tools/tap_census.py, 1080p reference scene): per-tile total
+        # span mean ~113, p99 690 at the bench pose; sweep the knob
+        for budget in (None, 448, 256):
+            pipe = mk(tex_caps=None if budget is None else (92, 44, budget))
+            fps = round(fps_of(pipe, cam, args.frames), 3)
+            np.asarray(pipe.render(cam, collect_stats=True))
+            approx = int(pipe.last_stats.tex_approx_taps)
+            key = f"stage_budget_{budget or 'full'}"
+            results[key] = {"fps": fps, "tex_approx_taps": approx}
+            print(json.dumps({"check": key, **results[key]}), flush=True)
+
+    print(json.dumps({"check": "ALL", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
