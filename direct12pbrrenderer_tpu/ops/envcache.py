@@ -46,6 +46,7 @@ PAGE_W = 16
 PAGE_H = 8
 PAGE_RECORDS = PAGE_W * PAGE_H
 REC_F32 = 16  # 4 clamp-quad corners x 4 channels
+REC_I32 = 8   # staged rows per record: bf16 value pairs packed in i32
 CAP_FB = 8    # fallback-page slots per group (static list, padded to keep
               # the per-group staging span SEG_CHUNK-aligned)
 
@@ -98,6 +99,33 @@ def _page_major(rec: np.ndarray) -> np.ndarray:
         .transpose(0, 2, 1, 3, 4)
         .reshape(-1, REC_F32)
     )
+
+
+def quantize_bf16(x: np.ndarray) -> np.ndarray:
+    """Round f32 to the nearest bf16 value (returned as f32).
+
+    The page store holds bf16 (the reference keeps its prefiltered env /
+    LUT as RGBA16F textures, DeferredPipeline.h:38-41 — 16-bit storage is
+    the parity norm; bf16 is the TPU-native 16-bit float). The XLA
+    reference samplers in tests quantize their content with this same
+    helper so kernel-vs-XLA exactness checks stay bit-level."""
+    import jax.numpy as _jnp
+
+    return np.asarray(_jnp.asarray(x, _jnp.bfloat16), np.float32)
+
+
+def pack_bf16(rec: np.ndarray) -> np.ndarray:
+    """(N, REC_F32) f32 -> (N, REC_I32) int32: round each value to bf16 and
+    pack adjacent pairs (v[2k] in the LOW u16, v[2k+1] in the HIGH u16).
+    Halves the staging gather + sweep row volume; the kernel reconstructs
+    exact f32 values with two shifts (bf16 = truncated f32)."""
+    import jax.numpy as _jnp
+
+    bf = np.asarray(_jnp.asarray(rec, _jnp.bfloat16))
+    u16 = bf.view(np.uint16).reshape(rec.shape[0], REC_F32)
+    lo = u16[:, 0::2].astype(np.uint32)
+    hi = u16[:, 1::2].astype(np.uint32)
+    return (lo | (hi << 16)).view(np.int32)
 
 
 class FloatAtlasBuilder:
@@ -157,7 +185,7 @@ class FloatAtlasBuilder:
             for m in range(MAX_MIPS):
                 pb[i, m] = offs[min(m, len(offs) - 1)]
         return FloatAtlas(
-            jnp.asarray(np.concatenate(self.chunks, 0)),
+            jnp.asarray(pack_bf16(np.concatenate(self.chunks, 0))),
             jnp.asarray(pb),
             jnp.asarray(np.asarray(self.sizes, np.int32)),
             jnp.asarray(np.asarray(self.mips, np.int32)),
@@ -208,8 +236,9 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
             blocks, caps, bases, n_groups):
     """Resolve G groups of f32 quad taps against staged pages.
 
-    tbl: (1, CAPT*16, 128) f32 — page p value v at row p*16+v
-         (v = corner*4 + channel)
+    tbl: (1, CAPT*8, 128) i32 — page p value-PAIR k at row p*8+k: two bf16
+         values packed per i32 (v=2k low u16, v=2k+1 high; v = corner*4 +
+         channel). bf16 is truncated f32, so unpack is two shifts + bitcast.
     rec/fx/fy: (1, G, blocks, 128); out: (1, G, 4, blocks, 128) f32
     """
     t = pl.program_id(0)
@@ -219,21 +248,21 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
         seg = rec >> 7
         lane = rec & 127
         lane_b = jnp.broadcast_to(
-            lane[None], (SEG_CHUNK * REC_F32, blocks, 128)
-        ).reshape(SEG_CHUNK * REC_F32 * blocks, 128)
+            lane[None], (SEG_CHUNK * REC_I32, blocks, 128)
+        ).reshape(SEG_CHUNK * REC_I32 * blocks, 128)
 
         def chunk_body(c, quad, base=base, seg=seg, lane_b=lane_b):
             rows = tbl_ref[
                 0, pl.ds(pl.multiple_of(
-                    base * REC_F32 + c * (SEG_CHUNK * REC_F32),
-                    SEG_CHUNK * REC_F32), SEG_CHUNK * REC_F32)
-            ]                                          # (CHUNK*16, 128)
+                    base * REC_I32 + c * (SEG_CHUNK * REC_I32),
+                    SEG_CHUNK * REC_I32), SEG_CHUNK * REC_I32)
+            ]                                          # (CHUNK*8, 128)
             x = jnp.broadcast_to(
-                rows[:, None, :], (SEG_CHUNK * REC_F32, blocks, 128)
-            ).reshape(SEG_CHUNK * REC_F32 * blocks, 128)
+                rows[:, None, :], (SEG_CHUNK * REC_I32, blocks, 128)
+            ).reshape(SEG_CHUNK * REC_I32 * blocks, 128)
             gat = jnp.take_along_axis(x, lane_b, axis=1)
-            gat = gat.reshape(SEG_CHUNK, REC_F32, blocks, 128)
-            sel = jnp.zeros((REC_F32, blocks, 128), jnp.float32)
+            gat = gat.reshape(SEG_CHUNK, REC_I32, blocks, 128)
+            sel = jnp.zeros((REC_I32, blocks, 128), jnp.int32)
             local = seg - c * SEG_CHUNK
             for sg in range(SEG_CHUNK):
                 sel = jnp.where((local == sg)[None], gat[sg], sel)
@@ -241,10 +270,16 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
             return jnp.where(hit[None], sel, quad)
 
         n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
-        quad = jax.lax.fori_loop(
+        packed = jax.lax.fori_loop(
             0, n_chunks, chunk_body,
-            jnp.zeros((REC_F32, blocks, 128), jnp.float32),
+            jnp.zeros((REC_I32, blocks, 128), jnp.int32),
         )
+
+        def val(v):  # bf16 half v of the packed pairs -> f32
+            k, high = v >> 1, v & 1
+            bits = (packed[k] & ~0xFFFF) if high else (packed[k] << 16)
+            return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
         fx = fx_ref[0, g]
         fy = fy_ref[0, g]
         w00 = (1 - fx) * (1 - fy)
@@ -252,8 +287,8 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
         w10 = (1 - fx) * fy
         w11 = fx * fy
         comps = [
-            quad[c] * w00 + quad[4 + c] * w01
-            + quad[8 + c] * w10 + quad[12 + c] * w11
+            val(c) * w00 + val(4 + c) * w01
+            + val(8 + c) * w10 + val(12 + c) * w11
             for c in range(4)
         ]
         out_ref[0, g] = jnp.stack(comps, 0)
@@ -380,11 +415,11 @@ def sample_env_tiled(
     capt = sum(caps) + g * CAP_FB
 
     n_pages = atlas.data.shape[0] // PAGE_RECORDS
-    pages_view = atlas.data.reshape(n_pages, PAGE_RECORDS, REC_F32)
+    pages_view = atlas.data.reshape(n_pages, PAGE_RECORDS, REC_I32)
     staged = jnp.take(pages_view, ids.reshape(-1), axis=0)
-    staged = staged.reshape(n_tiles, capt, PAGE_RECORDS, REC_F32)
+    staged = staged.reshape(n_tiles, capt, PAGE_RECORDS, REC_I32)
     staged = staged.transpose(0, 1, 3, 2).reshape(
-        n_tiles, capt * REC_F32, PAGE_RECORDS
+        n_tiles, capt * REC_I32, PAGE_RECORDS
     )
 
     caps_t = tuple(c + CAP_FB for c in caps)
@@ -401,7 +436,7 @@ def sample_env_tiled(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, capt * REC_F32, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, capt * REC_I32, 128), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),

@@ -12,8 +12,13 @@ from direct12pbrrenderer_tpu.ops import common, envcache
 
 
 def _cube_chain(rng, size, n_mips, c=3):
+    # bf16-valued f32 content: the page store quantizes to bf16 (the
+    # reference's own env storage is RGBA16F), so the XLA reference samplers
+    # must see the identical values for bit-level machinery checks
     return [
-        [rng.random((max(size >> m, 1), max(size >> m, 1), c)).astype(np.float32)
+        [envcache.quantize_bf16(
+            rng.random((max(size >> m, 1), max(size >> m, 1), c))
+            .astype(np.float32))
          for m in range(n_mips)]
         for _ in range(6)
     ]
@@ -31,7 +36,8 @@ def _cube_atlas_from_chains(chains):
 def _build(rng, env_size=16, env_mips=4, sky_size=8, lut_size=8):
     env_chains = _cube_chain(rng, env_size, env_mips)
     sky_chains = _cube_chain(rng, sky_size, 1)
-    lut = rng.random((lut_size, lut_size, 2)).astype(np.float32)
+    lut = envcache.quantize_bf16(
+        rng.random((lut_size, lut_size, 2)).astype(np.float32))
     b = envcache.FloatAtlasBuilder()
     env_base = b.add_cube(env_chains)
     sky_base = b.add_cube(sky_chains)
@@ -149,7 +155,10 @@ def test_env_overflow_resolves_to_coarse_directional_fallback():
     unp, vnp = np.asarray(uu), np.asarray(vv)
     want = np.zeros((h, w, 3), np.float32)
     for f in range(6):
-        coarse = envcache.coarse_fallback_mip(env_chains[f][-1])
+        # the store quantizes pages AFTER the downsample -> mirror that
+        coarse = envcache.quantize_bf16(
+            envcache.coarse_fallback_mip(env_chains[f][-1])
+        )
         m = fnp == f
         want[m] = bil_clamp(coarse, unp[m], vnp[m])
     got = np.asarray(rgba)[..., 0, :3][ap]
