@@ -232,18 +232,21 @@ def _tap_addresses_clamp(base_w, base_h, page_base, mip, u, v):
 
 
 # --------------------------------------------------------------- kernel ----
-def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
-            blocks, caps, bases, n_groups):
+def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
+            blocks, n_groups):
     """Resolve G groups of f32 quad taps against staged pages.
 
-    tbl: (1, CAPT*8, 128) i32 — page p value-PAIR k at row p*8+k: two bf16
+    off: (tiles, G) group start rows in the compact staged block (scalar
+         prefetch; SEG_CHUNK-aligned — demand-shaped layout, not cap-shaped)
+    cnt: (tiles, G) page counts incl. fallback block (scalar prefetch)
+    tbl: (1, B*8, 128) i32 — page p value-PAIR k at row p*8+k: two bf16
          values packed per i32 (v=2k low u16, v=2k+1 high; v = corner*4 +
          channel). bf16 is truncated f32, so unpack is two shifts + bitcast.
     rec/fx/fy: (1, G, blocks, 128); out: (1, G, 4, blocks, 128) f32
     """
     t = pl.program_id(0)
     for g in range(n_groups):
-        base, cap = bases[g], caps[g]
+        base = off_ref[t, g]
         rec = rec_ref[0, g]                            # (blocks, 128)
         seg = rec >> 7
         lane = rec & 127
@@ -298,7 +301,7 @@ def _kernel(cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
 @functools.partial(
     jax.jit,
     static_argnames=("fb_tids", "share", "tile_h", "tile_w", "cap",
-                     "block_cap", "interpret"),
+                     "block_cap", "interpret", "stage_budget"),
 )
 def sample_env_tiled(
     atlas: FloatAtlas,
@@ -317,6 +320,7 @@ def sample_env_tiled(
     cap: int | tuple = 28,   # per-group page budgets (int = uniform)
     block_cap: int | None = 8,
     interpret: bool = False,
+    stage_budget: int | None = None,
 ):
     """Batched clamp-quad sampling of G tap groups through per-tile page
     covers. Returns (rgba (H, W, G, 4), covered (H, W, G), approx (H, W, G)).
@@ -325,7 +329,14 @@ def sample_env_tiled(
     overflowed the page budget and resolved as a bilinear tap on the
     texture's one-page coarse fallback mip.
     Groups listed together in `share` (trilinear mip halves) AND their
-    covered masks: a tap is never a blend of exact and fallback halves."""
+    covered masks: a tap is never a blend of exact and fallback halves.
+
+    Staging is demand-shaped (texcache's compact layout): each group's
+    [fb(CAP_FB)|cover(count)] block packs at a dynamic SEG_CHUNK-aligned
+    offset under the per-tile page budget `stage_budget` (None = worst case,
+    sum of the group caps). Offsets ride scalar prefetch; a group whose span
+    no longer fits is truncated — its over-slot taps degrade to the
+    directional coarse-fallback page and count in `approx`, never garbage."""
     height, width, g = u.shape
     p = tile_h * tile_w
     blocks = -(-p // 128)
@@ -389,12 +400,42 @@ def sample_env_tiled(
         kernel=block_cap is not None, interpret=interpret,
     )
 
+    # ---- compact (demand-shaped) staging layout ---------------------------
+    # Pack each group's [fb(CAP_FB)|cover(count)] block at a dynamic
+    # SEG_CHUNK-aligned offset under the per-tile budget B. The sequential
+    # clamp reserves SEG_CHUNK rows per remaining group so the CAP_FB
+    # (= SEG_CHUNK) fallback pages ALWAYS fit — budget pressure degrades
+    # taps to the directional coarse mip, never to garbage reads.
+    def align8(x):
+        return -(-x // SEG_CHUNK) * SEG_CHUNK
+
+    caps_t = tuple(c + CAP_FB for c in caps)           # per-group max span
+    full_budget = sum(caps_t)
+    B = full_budget if stage_budget is None else min(stage_budget, full_budget)
+    assert B % SEG_CHUNK == 0 and B >= SEG_CHUNK * g
+
+    span_want = align8(CAP_FB + count)                 # (tiles, G)
+    offs, spans = [], []
+    off = jnp.zeros((n_tiles,), jnp.int32)
+    for gi in range(g):
+        reserve = SEG_CHUNK * (g - 1 - gi)
+        s_eff = jnp.minimum(span_want[:, gi], B - off - reserve)
+        offs.append(off)
+        spans.append(s_eff)
+        off = off + s_eff
+    off_arr = jnp.stack(offs, axis=1)                  # (tiles, G)
+    span_arr = jnp.stack(spans, axis=1)
+    count_eff = jnp.minimum(count, span_arr - CAP_FB)
+
+    # budget truncation joins the cover condition, BEFORE share-ANDing
+    fit = found & (slot < count_eff[..., None, None])
+
     # shared covers: a trilinear tap is exact only if every half covered
-    covered_t = found
+    covered_t = fit
     for grp in share:
         if len(grp) > 1:
             both = functools.reduce(
-                jnp.logical_and, [found[:, i] for i in grp]
+                jnp.logical_and, [fit[:, i] for i in grp]
             )
             for i in grp:
                 covered_t = covered_t.at[:, i].set(both)
@@ -406,37 +447,40 @@ def sample_env_tiled(
     fx_t = jnp.where(covered_t, tile_g(fx), fb_fx_t)
     fy_t = jnp.where(covered_t, tile_g(fy), fb_fy_t)
 
-    # page table: per group [fallback (CAP_FB) | cover (caps[i])]
-    ids = jnp.concatenate(
-        [jnp.concatenate([fb_rows[i], page_list[:, i, : caps[i]]], -1)
-         for i in range(g)], axis=-1,
-    )                                                      # (tiles, CAPT)
-    cnts = CAP_FB + count                                  # (tiles, G)
-    capt = sum(caps) + g * CAP_FB
+    # page table: per group [fallback (CAP_FB) | cover (caps[i])], padded to
+    # the widest group, then scattered to its compact offset (truncated rows
+    # land on the dump column B, sliced off)
+    span_maxG = max(caps_t)
+    ids_fullG = []
+    for i in range(g):
+        idg = jnp.concatenate([fb_rows[i], page_list[:, i, : caps[i]]], -1)
+        pad = span_maxG - idg.shape[-1]
+        if pad:
+            idg = jnp.pad(idg, ((0, 0), (0, pad)))
+        ids_fullG.append(idg)
+    ids_fullG = jnp.stack(ids_fullG, axis=1)           # (tiles, G, span_maxG)
+    j = jnp.arange(span_maxG, dtype=jnp.int32)
+    dst = off_arr[..., None] + j
+    dst = jnp.where(j[None, None, :] < span_arr[..., None], dst, B)
+    ids = jnp.zeros((n_tiles, B + 1), jnp.int32).at[
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None, None], dst
+    ].set(ids_fullG)[:, :B]
+    cnts = CAP_FB + count_eff                          # (tiles, G)
 
     n_pages = atlas.data.shape[0] // PAGE_RECORDS
     pages_view = atlas.data.reshape(n_pages, PAGE_RECORDS, REC_I32)
     staged = jnp.take(pages_view, ids.reshape(-1), axis=0)
-    staged = staged.reshape(n_tiles, capt, PAGE_RECORDS, REC_I32)
+    staged = staged.reshape(n_tiles, B, PAGE_RECORDS, REC_I32)
     staged = staged.transpose(0, 1, 3, 2).reshape(
-        n_tiles, capt * REC_I32, PAGE_RECORDS
+        n_tiles, B * REC_I32, PAGE_RECORDS
     )
 
-    caps_t = tuple(c + CAP_FB for c in caps)
-    bases = []
-    off = 0
-    for c in caps_t:
-        bases.append(off)
-        off += c
-    bases = tuple(bases)
-    kernel = functools.partial(
-        _kernel, blocks=blocks, caps=caps_t, bases=bases, n_groups=g,
-    )
+    kernel = functools.partial(_kernel, blocks=blocks, n_groups=g)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, capt * REC_I32, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, B * REC_I32, 128), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
@@ -455,7 +499,7 @@ def sample_env_tiled(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(cnts, staged, rec_t, fx_t, fy_t)
+    )(off_arr, cnts, staged, rec_t, fx_t, fy_t)
 
     rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
                         (2, 3))                        # (H, W, G, 4)
@@ -463,3 +507,60 @@ def sample_env_tiled(
         _untile(covered_t, height, width, tile_h, tile_w), 0, -1
     )
     return rgba, covered, active & ~covered
+
+
+# ------------------------------------------------------------- census -----
+def tap_census(atlas: FloatAtlas, tex, mip, u, v, active,
+               tile_h: int = 24, tile_w: int = 128):
+    """Measure realized distinct-page demand per (tile, group) for the env
+    cache's tap stream (the exact addressing `sample_env_tiled` uses), plus
+    the per-tile TOTAL compact-staging span. Feed a few camera poses through
+    this and size `DeferredRenderPipeline(env_budget=...)` with
+    `recommend_budget` — cap-shaped staging moves sum(caps)+G*CAP_FB pages
+    per tile every frame regardless of demand."""
+    from .texcache import SENTINEL, select_mip
+
+    height, width, g = u.shape
+    p = tile_h * tile_w
+    blocks = -(-p // 128)
+    blocks += (-blocks) % 8
+
+    table = fused_table(atlas)
+    row = onehot_lookup(table, tex)
+    base_w = row[..., 0].astype(jnp.int32)
+    base_h = row[..., 1].astype(jnp.int32)
+    page, _, _, _ = _tap_addresses_clamp(
+        base_w, base_h, select_mip(row[..., 5:], mip), mip, u, v
+    )
+
+    def tile_g(x):
+        return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
+
+    pg = jnp.where(tile_g(active), tile_g(page), SENTINEL)
+    tiles_n = pg.shape[0]
+    flat = jnp.sort(pg.reshape(tiles_n * g, blocks * 128), axis=-1)
+    first = flat[:, :1] != SENTINEL
+    rest = (flat[:, 1:] != flat[:, :-1]) & (flat[:, 1:] != SENTINEL)
+    counts = np.asarray(first.sum(-1) + rest.sum(-1)).reshape(tiles_n, g)
+    span = -(-(CAP_FB + counts) // SEG_CHUNK) * SEG_CHUNK
+    totals = span.sum(-1)
+    return {
+        "group": {
+            "max": int(counts.max()),
+            "p99": int(np.percentile(counts, 99)),
+            "mean": float(counts.mean()),
+        },
+        "tile_total": {
+            "max": int(totals.max()),
+            "p99": int(np.percentile(totals, 99)),
+            "mean": float(totals.mean()),
+        },
+    }
+
+
+def recommend_budget(census_frames, headroom: float = 1.5) -> int:
+    """SEG_CHUNK-aligned env `stage_budget` ≥ worst sampled tile total x
+    headroom (same contract as texcache.recommend_budget)."""
+    worst = max(c["tile_total"]["max"] for c in census_frames)
+    b = -(-int(worst * headroom) // SEG_CHUNK) * SEG_CHUNK
+    return max(b, 5 * SEG_CHUNK)

@@ -68,7 +68,8 @@ def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0,
     jax.jit,
     static_argnames=("width", "height", "fov", "ratio", "near", "far",
                      "full_height", "full_width", "env_ids", "env_tile",
-                     "env_interpret", "light_tile", "light_cap"),
+                     "env_interpret", "env_budget", "light_tile",
+                     "light_cap"),
 )
 def deferred_shade(
     gb_albedo_emission,   # (H, W, 4)
@@ -92,6 +93,7 @@ def deferred_shade(
     env_ids: tuple | None = None,  # (env_base, sky_base, lut_tid, env_mips)
     env_tile: tuple | None = None,
     env_interpret: bool = False,
+    env_budget: int | None = None,  # demand-shaped staging page budget
     light_tile: tuple | None = None,   # (tile_h, tile_w): use the Pallas
     # tile-clustered light kernel (ops/lights_pallas) — O(lights per tile)
     # instead of O(N_active) full-frame fori steps; the 1024-light path
@@ -187,6 +189,7 @@ def deferred_shade(
             fb_tids=tuple(gr[5] for gr in groups), share=((0, 1),),
             cap=tuple(caps),
             tile_h=th, tile_w=tw, interpret=env_interpret,
+            stage_budget=env_budget,
         )
         env_exact = rgba[..., 0, :3] * (1 - fracm) + rgba[..., 1, :3] * fracm
         if has_env:

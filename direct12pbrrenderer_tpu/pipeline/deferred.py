@@ -68,6 +68,7 @@ class DeferredRenderPipeline:
         light_tile: tuple | None = None,
         light_cap: int | None = None,
         tex_caps: tuple[int, int] | None = None,
+        env_budget: int | None = None,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -98,6 +99,9 @@ class DeferredRenderPipeline:
         # worst-case-content defaults. Under-sized caps degrade to the
         # counted coarsest-mip fallback, never corruption.
         self.tex_caps = tex_caps
+        # env-cache compact-staging page budget (tools/tap_census.py sizes
+        # it); None stages the worst-case cap-shaped layout
+        self.env_budget = env_budget
         if use_pallas is None:
             use_pallas = jax.default_backend() not in ("cpu",)
         self.use_pallas = use_pallas and (bin_cap % raster_pallas.CHUNK == 0)
@@ -306,6 +310,7 @@ class DeferredRenderPipeline:
                 env_ids=self.env_ids,
                 env_tile=self.env_tile if self.env_ids is not None else None,
                 env_interpret=self.pallas_interpret,
+                env_budget=self.env_budget,
                 light_tile=self.light_tile, light_cap=self.light_cap,
             )
             if (rw, rh) != (w, h):

@@ -137,6 +137,7 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
                    env_ids: tuple | None = None,
                    env_tile: tuple | None = None,
                    env_interpret: bool = False,
+                   env_budget: int | None = None,
                    light_tile: tuple | None = None,
                    light_cap: int = 256):
     return shading.deferred_shade(
@@ -149,5 +150,6 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
         full_width=full_width,
         env_cache=buffers.get("EnvCache") if env_ids is not None else None,
         env_ids=env_ids, env_tile=env_tile, env_interpret=env_interpret,
+        env_budget=env_budget,
         light_tile=light_tile, light_cap=light_cap,
     )

@@ -163,3 +163,89 @@ def test_env_overflow_resolves_to_coarse_directional_fallback():
         want[m] = bil_clamp(coarse, unp[m], vnp[m])
     got = np.asarray(rgba)[..., 0, :3][ap]
     np.testing.assert_allclose(got, want[ap], atol=1e-5)
+
+
+def _budget_inputs(rng, atlas_pack):
+    atlas, env_base, sky_base, lut_tid, *_ = atlas_pack
+    h, w = 24, 128
+    dirs = rng.normal(size=(h, w, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    face, uu, vv = common.cubemap_coords(jnp.asarray(dirs))
+    ones = jnp.ones((h, w), bool)
+    zero = jnp.zeros((h, w), jnp.int32)
+    rough = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    ndv = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    tex = jnp.stack([env_base + face,
+                     jnp.full((h, w), lut_tid, jnp.int32)], -1)
+    mip = jnp.stack([zero, zero], -1)
+    u = jnp.stack([uu, rough], -1)
+    v = jnp.stack([vv, ndv], -1)
+    act = jnp.stack([ones, ones], -1)
+    fb = (tuple(range(env_base, env_base + 6)), (lut_tid,))
+    return tex, mip, u, v, act, fb
+
+
+def test_env_stage_budget_generous_is_bit_identical():
+    """Demand-shaped staging at a generous budget must be bit-equal to the
+    worst-case cap-shaped layout (stage_budget=None)."""
+    rng = np.random.default_rng(11)
+    pack = _build(rng, env_size=16, env_mips=2)
+    tex, mip, u, v, act, fb = _budget_inputs(rng, pack)
+    kw = dict(fb_tids=fb, cap=(40, 8), block_cap=16, interpret=True)
+    full = envcache.sample_env_tiled(pack[0], tex, mip, u, v, act, **kw)
+    slim = envcache.sample_env_tiled(pack[0], tex, mip, u, v, act,
+                                     stage_budget=64, **kw)
+    for a, b in zip(full, slim):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(full[1]).all()  # everything covered at these caps
+
+
+def test_env_stage_budget_truncation_degrades_to_fallback():
+    """A budget below demand truncates trailing groups: their taps resolve
+    on the (always staged) directional coarse fallback and count in approx —
+    and match an unbudgeted run forced onto the same fallback."""
+    rng = np.random.default_rng(13)
+    pack = _build(rng, env_size=64, env_mips=2)
+    tex, mip, u, v, act, fb = _budget_inputs(rng, pack)
+    kw = dict(fb_tids=fb, cap=(40, 8), block_cap=16, interpret=True)
+    # min legal budget = SEG_CHUNK per group: only fallback pages staged
+    g = tex.shape[-1]
+    tiny = envcache.sample_env_tiled(pack[0], tex, mip, u, v, act,
+                                     stage_budget=8 * g, **kw)
+    rgba, covered, approx = tiny
+    cov = np.asarray(covered)
+    ap = np.asarray(approx)
+    assert ap.any() and (cov | ap)[np.asarray(act)].all()
+    # group 0 (6 faces of a 64px env mip) cannot fit 8 pages -> approx taps
+    # must equal the coarse-fallback bilinear values: cross-check against a
+    # run whose covered mask says the same taps were exact, by re-running
+    # with cap so small nothing covers (pure-fallback reference)
+    ref = envcache.sample_env_tiled(
+        pack[0], tex, mip, u, v, act, fb_tids=fb, cap=(8, 8),
+        block_cap=16, interpret=True,
+        # a 24x128 tile of random dirs across 6 faces of 64x64 won't fit 8
+        # pages; LUT group (8x8=1 page) still covers
+    )
+    both_ap = ap[..., 0] & np.asarray(ref[2])[..., 0]
+    assert both_ap.any()
+    np.testing.assert_array_equal(
+        np.asarray(rgba)[..., 0, :][both_ap],
+        np.asarray(ref[0])[..., 0, :][both_ap],
+    )
+
+
+def test_env_tap_census_and_budget_roundtrip():
+    rng = np.random.default_rng(17)
+    pack = _build(rng, env_size=16, env_mips=2)
+    tex, mip, u, v, act, fb = _budget_inputs(rng, pack)
+    census = envcache.tap_census(pack[0], tex, mip, u, v, act)
+    assert census["group"]["max"] >= 1
+    budget = envcache.recommend_budget([census], headroom=1.0)
+    assert budget % envcache.SEG_CHUNK == 0
+    # the recommended budget must cover the measured frame exactly
+    kw = dict(fb_tids=fb, cap=(40, 8), block_cap=16, interpret=True)
+    full = envcache.sample_env_tiled(pack[0], tex, mip, u, v, act, **kw)
+    slim = envcache.sample_env_tiled(pack[0], tex, mip, u, v, act,
+                                     stage_budget=budget, **kw)
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(slim[1]))
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(slim[0]))
