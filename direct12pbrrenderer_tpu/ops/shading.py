@@ -64,12 +64,86 @@ def camera_rays(width, height, inv_view, fov, ratio, near, y_offset=0,
     return jnp.einsum("ij,hwj->hwi", rot, cam, precision=jax.lax.Precision.HIGHEST)
 
 
+def pixel_view_geometry(depth, normal, inv_view, camera_pos, width, height,
+                        fov, ratio, near, far, y_offset=0, full_height=None,
+                        full_width=None):
+    """Per-pixel view-space geometry shared by deferred_shade and the env
+    tap census: (position, view_dir, z_view, n_dot_v, refl, ray) from the
+    depth buffer + decoded normals (deferred_shading.hlsl:96-110 world-pos
+    reconstruction + the split-sum reflection setup)."""
+    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near, y_offset,
+                          full_height, full_width)
+    z_view = view_space_depth(depth, near, far)
+    position = camera_pos[None, None, :] + cam_vec * (z_view / near)[..., None]
+    view_dir = camera_pos[None, None, :] - position
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-20
+    )
+    n_dot_v = jnp.maximum((normal * view_dir).sum(-1), 0.0)
+    refl = 2.0 * (normal * view_dir).sum(-1, keepdims=True) * normal - view_dir
+    refl = refl / jnp.maximum(
+        jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-20
+    )
+    ray = cam_vec / jnp.maximum(
+        jnp.linalg.norm(cam_vec, axis=-1, keepdims=True), 1e-20
+    )
+    return position, view_dir, z_view, n_dot_v, refl, ray
+
+
+def env_tap_groups(refl, ray, roughness, n_dot_v, mask, env_ids):
+    """The deferred pass's env-page-cache tap groups, one place: per-pixel
+    (tex, mip, u, v, active) stacks for the env trilinear halves, the BRDF
+    LUT, the background sky, and (when env content exists) the LOD-clamp
+    cascade — plus the matching fb_tids/caps. `tools/tap_census.py` feeds
+    these to `envcache.tap_census` so budget sizing measures the EXACT
+    addressing the frame uses. Returns (tex, mip, u, v, act, fb_tids, caps,
+    fracm, has_env)."""
+    env_base, sky_base, lut_tid, env_mips, has_env = (
+        env_ids if len(env_ids) == 5 else (*env_ids, True)
+    )
+    lvl = jnp.clip(roughness * PREFILTER_ENVMAP_MIP_LEVELS, 0.0,
+                   env_mips - 1.0)
+    lo = jnp.floor(lvl).astype(jnp.int32)
+    fracm = (lvl - lo)[..., None]
+    hi = jnp.minimum(lo + 1, env_mips - 1)
+    # LOD-clamp cascade (what a HW texture cache does when a mip isn't
+    # resident): group 4 re-taps the env at mip+3 — 64x fewer pages, so
+    # mirror-tile footprints that blow the mip-0 budget resolve at a
+    # mild blur instead of the one-page coarse fallback
+    face_e, ue, ve = common.cubemap_coords(refl)
+    face_s, us, vs = common.cubemap_coords(ray)
+    zero = jnp.zeros_like(lo)
+    tex_e = env_base + face_e
+    env_tids = tuple(range(env_base, env_base + 6))
+    sky_tids = tuple(range(sky_base, sky_base + 6))
+    groups = [
+        (tex_e, lo, ue, ve, mask, env_tids),
+        (tex_e, hi, ue, ve, mask, env_tids),
+        (jnp.full_like(lo, lut_tid), zero, roughness, n_dot_v, mask,
+         (lut_tid,)),
+        (sky_base + face_s, zero, us, vs, ~mask, sky_tids),
+    ]
+    caps = [32, 32, 32, 32]
+    if has_env:
+        # cascade group only when there IS env content to resolve
+        mid = jnp.minimum(lo + 3, env_mips - 1)
+        groups.append((tex_e, mid, ue, ve, mask, env_tids))
+        caps.append(16)
+    tex5 = jnp.stack([gr[0] for gr in groups], -1)
+    mip5 = jnp.stack([gr[1] for gr in groups], -1)
+    uq = jnp.stack([gr[2] for gr in groups], -1)
+    vq = jnp.stack([gr[3] for gr in groups], -1)
+    act = jnp.stack([gr[4] for gr in groups], -1)
+    return (tex5, mip5, uq, vq, act, tuple(gr[5] for gr in groups),
+            tuple(caps), fracm, has_env)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "fov", "ratio", "near", "far",
                      "full_height", "full_width", "env_ids", "env_tile",
                      "env_interpret", "env_budget", "light_tile",
-                     "light_cap"),
+                     "light_cap", "return_env_approx"),
 )
 def deferred_shade(
     gb_albedo_emission,   # (H, W, 4)
@@ -94,6 +168,8 @@ def deferred_shade(
     env_tile: tuple | None = None,
     env_interpret: bool = False,
     env_budget: int | None = None,  # demand-shaped staging page budget
+    return_env_approx: bool = False,  # also return the env fallback-tap
+    # count (the cache's honesty stat; 0 on the XLA sampler path)
     light_tile: tuple | None = None,   # (tile_h, tile_w): use the Pallas
     # tile-clustered light kernel (ops/lights_pallas) — O(lights per tile)
     # instead of O(N_active) full-frame fori steps; the 1024-light path
@@ -106,13 +182,9 @@ def deferred_shade(
     metallic = gb_rough_metal_ao[..., 1]
     # ao = gb_rough_metal_ao[..., 2]  # sampled but unused — reference quirk
 
-    cam_vec = camera_rays(width, height, inv_view, fov, ratio, near, y_offset,
-                          full_height, full_width)
-    z_view = view_space_depth(depth, near, far)
-    position = camera_pos[None, None, :] + cam_vec * (z_view / near)[..., None]
-    view_dir = camera_pos[None, None, :] - position
-    view_dir = view_dir / jnp.maximum(
-        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-20
+    position, view_dir, z_view, n_dot_v, refl, ray = pixel_view_geometry(
+        depth, normal, inv_view, camera_pos, width, height, fov, ratio,
+        near, far, y_offset, full_height, full_width,
     )
 
     # --- environment diffuse: SH polynomial (deferred_shading.hlsl:23-54) ---
@@ -136,58 +208,18 @@ def deferred_shade(
     env_diffuse = kd * irradiance
 
     # --- environment specular: split-sum (deferred_shading.hlsl:56-70) -----
-    n_dot_v = jnp.maximum((normal * view_dir).sum(-1), 0.0)
-    refl = 2.0 * (normal * view_dir).sum(-1, keepdims=True) * normal - view_dir
-    refl = refl / jnp.maximum(jnp.linalg.norm(refl, axis=-1, keepdims=True), 1e-20)
-    ray = cam_vec / jnp.maximum(
-        jnp.linalg.norm(cam_vec, axis=-1, keepdims=True), 1e-20
-    )
     if env_ids is not None:
         # all four per-pixel sampler taps (env trilinear halves, BRDF LUT,
         # background sky) through ONE float page-cache kernel call
         from . import envcache
 
-        env_base, sky_base, lut_tid, env_mips, has_env = (
-            env_ids if len(env_ids) == 5 else (*env_ids, True)
-        )
-        lvl = jnp.clip(roughness * PREFILTER_ENVMAP_MIP_LEVELS, 0.0,
-                       env_mips - 1.0)
-        lo = jnp.floor(lvl).astype(jnp.int32)
-        fracm = (lvl - lo)[..., None]
-        hi = jnp.minimum(lo + 1, env_mips - 1)
-        # LOD-clamp cascade (what a HW texture cache does when a mip isn't
-        # resident): group 4 re-taps the env at mip+3 — 64x fewer pages, so
-        # mirror-tile footprints that blow the mip-0 budget resolve at a
-        # mild blur instead of the one-page coarse fallback
-        face_e, ue, ve = common.cubemap_coords(refl)
-        face_s, us, vs = common.cubemap_coords(ray)
-        zero = jnp.zeros_like(lo)
-        tex_e = env_base + face_e
-        env_tids = tuple(range(env_base, env_base + 6))
-        sky_tids = tuple(range(sky_base, sky_base + 6))
-        groups = [
-            (tex_e, lo, ue, ve, mask, env_tids),
-            (tex_e, hi, ue, ve, mask, env_tids),
-            (jnp.full_like(lo, lut_tid), zero, roughness, n_dot_v, mask,
-             (lut_tid,)),
-            (sky_base + face_s, zero, us, vs, ~mask, sky_tids),
-        ]
-        caps = [32, 32, 32, 32]
-        if has_env:
-            # cascade group only when there IS env content to resolve
-            mid = jnp.minimum(lo + 3, env_mips - 1)
-            groups.append((tex_e, mid, ue, ve, mask, env_tids))
-            caps.append(16)
-        tex5 = jnp.stack([gr[0] for gr in groups], -1)
-        mip5 = jnp.stack([gr[1] for gr in groups], -1)
-        uq = jnp.stack([gr[2] for gr in groups], -1)
-        vq = jnp.stack([gr[3] for gr in groups], -1)
-        act = jnp.stack([gr[4] for gr in groups], -1)
+        (tex5, mip5, uq, vq, act, fb_tids, caps, fracm,
+         has_env) = env_tap_groups(refl, ray, roughness, n_dot_v, mask,
+                                   env_ids)
         th, tw = env_tile
-        rgba, covered, _ = envcache.sample_env_tiled(
+        rgba, covered, env_approx = envcache.sample_env_tiled(
             env_cache, tex5, mip5, uq, vq, act,
-            fb_tids=tuple(gr[5] for gr in groups), share=((0, 1),),
-            cap=tuple(caps),
+            fb_tids=fb_tids, share=((0, 1),), cap=caps,
             tile_h=th, tile_w=tw, interpret=env_interpret,
             stage_budget=env_budget,
         )
@@ -203,7 +235,9 @@ def deferred_shade(
                                 rgba[..., 0, :3])
         env_brdf = rgba[..., 2, :2]
         sky = rgba[..., 3, :3]
+        env_approx_cnt = env_approx.sum(dtype=jnp.int32)
     else:
+        env_approx_cnt = jnp.int32(0)
         env_irr = common.sample_cube_atlas_trilinear(
             prefiltered, refl, roughness * PREFILTER_ENVMAP_MIP_LEVELS
         )[..., :3]
@@ -293,7 +327,8 @@ def deferred_shade(
         lit = env_diffuse + env_specular + point_light + emission_lum
         if sky is None:
             sky = common._cube_atlas_bilinear(skybox, ray, jnp.int32(0))[..., :3]
-        return jnp.where(mask[..., None], lit, sky)
+        out = jnp.where(mask[..., None], lit, sky)
+        return (out, env_approx_cnt) if return_env_approx else out
 
     # dynamic trip count: padded rows (cull_r = 0) contribute nothing, so we
     # only iterate over lights that are actually present this frame
@@ -337,4 +372,5 @@ def deferred_shade(
     # --- skybox (skybox.hlsl): background pixels sample the cubemap --------
     if sky is None:
         sky = common._cube_atlas_bilinear(skybox, ray, jnp.int32(0))[..., :3]
-    return jnp.where(mask[..., None], lit, sky)
+    out = jnp.where(mask[..., None], lit, sky)
+    return (out, env_approx_cnt) if return_env_approx else out

@@ -45,6 +45,7 @@ class FrameStats:
     visible_lights: int
     bin_overflow: int = 0
     tex_approx_taps: int = 0  # cache-kernel taps resolved via fallback
+    env_approx_taps: int = 0  # env-cache taps resolved via fallback/cascade
     lights_truncated: int = 0  # visible lights beyond max_active_lights
     light_tile_overflow: int = 0  # per-tile culled lights beyond light_cap
 
@@ -304,13 +305,13 @@ class DeferredRenderPipeline:
             gb = gbuffer.GBuffer(
                 env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask
             )
-            rt = stages.deferred_shade(
+            rt, env_approx = stages.deferred_shade(
                 gb, env, active, env["InvView"], env["CameraPos"], cfg,
                 rw, rh, full_height=h, full_width=w,
                 env_ids=self.env_ids,
                 env_tile=self.env_tile if self.env_ids is not None else None,
                 env_interpret=self.pallas_interpret,
-                env_budget=self.env_budget,
+                env_budget=self.env_budget, return_env_approx=True,
                 light_tile=self.light_tile, light_cap=self.light_cap,
             )
             if (rw, rh) != (w, h):
@@ -328,7 +329,8 @@ class DeferredRenderPipeline:
                 trunc = jnp.maximum(counts - self.light_cap, 0).max()
             else:
                 trunc = jnp.zeros((), jnp.int32)
-            return {"DeferredShadingRT": rt, "LightTruncCount": trunc}
+            return {"DeferredShadingRT": rt, "LightTruncCount": trunc,
+                    "EnvApproxCount": env_approx}
 
         def skybox_pass(env):
             # composited inside deferred_shade (sky where stencil==0); the
@@ -363,7 +365,8 @@ class DeferredRenderPipeline:
             rgb8 = (env["ToneMappedTexture"] * 255.0 + 0.5).astype(jnp.uint8)
             return {"BackBuffer": (rgb8, env["AverageLuminance"],
                                    env["BinCounts"], env["TexApproxCount"],
-                                   env["LightTruncCount"])}
+                                   env["LightTruncCount"],
+                                   env["EnvApproxCount"])}
 
         static_reads = tuple(self.buffers.keys())
         passes = [
@@ -395,7 +398,7 @@ class DeferredRenderPipeline:
                  "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
                  "FrustumCluster", "InvView", "CameraPos")
                 + (("EnvCache",) if self.env_ids is not None else ()),
-                ("DeferredShadingRT", "LightTruncCount"),
+                ("DeferredShadingRT", "LightTruncCount", "EnvApproxCount"),
                 deferred_pass,
                 declares={
                     "GBufferA": fg.ResourceDesc((rh, rw, 4), "float32"),
@@ -429,7 +432,7 @@ class DeferredRenderPipeline:
             fg.RenderPass(
                 "Present",
                 ("ToneMappedTexture", "AverageLuminance", "BinCounts",
-                 "TexApproxCount", "LightTruncCount"),
+                 "TexApproxCount", "LightTruncCount", "EnvApproxCount"),
                 ("BackBuffer",),
                 present_pass,
             ),
@@ -499,7 +502,8 @@ class DeferredRenderPipeline:
             np.float32([delta_time]),
             visible.astype(np.float32), lights.astype(np.float32),
         ]).astype(np.float32)
-        rgb8, avg, bin_counts, tex_approx, light_trunc = self._frame_jit(
+        rgb8, avg, bin_counts, tex_approx, light_trunc, env_approx = \
+            self._frame_jit(
             self.buffers,
             jnp.asarray(frame_f32),
             self.avg_luminance,
@@ -529,6 +533,7 @@ class DeferredRenderPipeline:
                 visible_lights=n_vis_lights,
                 bin_overflow=overflow,
                 tex_approx_taps=int(tex_approx),
+                env_approx_taps=int(env_approx),
                 lights_truncated=max(0, n_vis_lights - self.max_active_lights),
                 light_tile_overflow=int(light_trunc),
             )

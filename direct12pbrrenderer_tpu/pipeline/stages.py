@@ -138,6 +138,7 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
                    env_tile: tuple | None = None,
                    env_interpret: bool = False,
                    env_budget: int | None = None,
+                   return_env_approx: bool = False,
                    light_tile: tuple | None = None,
                    light_cap: int = 256):
     return shading.deferred_shade(
@@ -150,6 +151,6 @@ def deferred_shade(gb: gbuffer.GBuffer, buffers, active, inv_view, camera_pos,
         full_width=full_width,
         env_cache=buffers.get("EnvCache") if env_ids is not None else None,
         env_ids=env_ids, env_tile=env_tile, env_interpret=env_interpret,
-        env_budget=env_budget,
+        env_budget=env_budget, return_env_approx=return_env_approx,
         light_tile=light_tile, light_cap=light_cap,
     )

@@ -67,19 +67,70 @@ def census_for_pose(pipe, camera):
     )
 
 
+def env_census_for_pose(pipe, camera):
+    """One frame's env-page-cache census: realized distinct-page demand of
+    the EXACT tap groups deferred_shade builds (`shading.env_tap_groups`
+    over the rendered G-buffer). Requires the pipeline's env kernel path
+    (pipe.env_ids is not None)."""
+    from ..ops import common, envcache, shading
+    from ..pipeline import stages
+
+    w, h = pipe.render_w, pipe.render_h
+    p = pipe.packed
+    cfg = pipe.config
+    buffers = pipe.buffers
+    planes = camera.frustum_planes()
+    model_mats = jnp.asarray(p.model_mats)
+    normal_mats = jnp.asarray(
+        np.ascontiguousarray(np.transpose(p.inv_model_mats[:, :3, :3],
+                                          (0, 2, 1)))
+    )
+    visible = jnp.asarray(p.instance_visibility(planes))
+    view_proj = jnp.asarray(camera.projection_matrix() @ camera.view_matrix())
+
+    setup, vattrs = stages.geometry(
+        buffers, model_mats, normal_mats, visible, view_proj, w, h
+    )
+    bins = stages.binning(setup, w, h, pipe.tile_h, pipe.tile_w, pipe.bin_cap)
+    tri_id, depth = stages.rasterize(
+        setup, bins, w, h, pipe.tile_h, pipe.tile_w, use_pallas=False
+    )
+    gb = stages.gbuffer_shade(
+        tri_id, depth, setup, buffers, vattrs, w, h,
+        texture_filter=pipe.texture_filter,
+    )
+    normal = common.decode_octahedron(gb.normal_oct)
+    _, _, _, n_dot_v, refl, ray = shading.pixel_view_geometry(
+        gb.depth, normal, jnp.asarray(camera.world_matrix()),
+        jnp.asarray(camera.position, jnp.float32), w, h,
+        cfg.fov, cfg.ratio, cfg.near, cfg.far,
+        full_height=cfg.height, full_width=cfg.width,
+    )
+    tex5, mip5, uq, vq, act, *_ = shading.env_tap_groups(
+        refl, ray, gb.rough_metal_ao[..., 0], n_dot_v, gb.mask, pipe.env_ids
+    )
+    th, tw = pipe.env_tile
+    return envcache.tap_census(pipe.env_atlas, tex5, mip5, uq, vq, act,
+                               tile_h=th, tile_w=tw)
+
+
 def run_census(pipe, camera, poses: int = 8, yaw_sweep_deg: float = 360.0,
                headroom: float = 1.5):
     """Census over a yaw sweep from the given start pose; returns
-    (per-pose census list, recommended (cap_lo, cap_hi))."""
+    (per-pose census list, recommended (cap_lo, cap_hi), per-pose env
+    census list — empty when the env kernel path is off)."""
     from ..ops import texcache
 
-    results = []
+    results, env_results = [], []
     step = yaw_sweep_deg / max(poses, 1) * np.pi / 180.0
     for i in range(poses):
         if i:
             camera.rotate(0.0, step, 0.0)
         results.append(census_for_pose(pipe, camera))
-    return results, texcache.recommend_caps(results, headroom=headroom)
+        if getattr(pipe, "env_ids", None) is not None:
+            env_results.append(env_census_for_pose(pipe, camera))
+    return results, texcache.recommend_caps(results, headroom=headroom), \
+        env_results
 
 
 def main():
@@ -103,7 +154,7 @@ def main():
             tile_w=128,
         )
     )
-    censuses, caps = run_census(
+    censuses, caps, env_censuses = run_census(
         app.pipeline, app.camera, poses=args.poses, headroom=args.headroom
     )
     for i, c in enumerate(censuses):
@@ -113,13 +164,22 @@ def main():
               f"tile_total max={c['tile_total']['max']} "
               f"p99={c['tile_total']['p99']} "
               f"mean={c['tile_total']['mean']:.0f}")
-    from ..ops import texcache
+    for i, c in enumerate(env_censuses):
+        print(f"env pose {i}: group max={c['group']['max']} "
+              f"p99={c['group']['p99']} mean={c['group']['mean']:.1f} | "
+              f"tile_total max={c['tile_total']['max']} "
+              f"p99={c['tile_total']['p99']} "
+              f"mean={c['tile_total']['mean']:.0f}")
+    from ..ops import envcache, texcache
 
     print(json.dumps({
         "cap_lo": caps[0], "cap_hi": caps[1],
         "stage_budget": texcache.recommend_budget(
             censuses, headroom=args.headroom
         ),
+        "env_budget": envcache.recommend_budget(
+            env_censuses, headroom=args.headroom
+        ) if env_censuses else None,
         "headroom": args.headroom, "poses": args.poses,
         "width": args.width, "height": args.height,
     }))

@@ -11,6 +11,9 @@ tunnel returns:
                            merge loops (texcache.FUSED_COVER_DYNAMIC)
   3. stage_budget        — demand-shaped staging at census budgets vs the
                            cap-shaped full layout (fps + approx-tap honesty)
+  4. env_budget          — env-cache demand-shaped staging sweep, with the
+                           measured per-pose env census printed first so the
+                           swept budgets can be judged against real demand
 
 Usage: python -m direct12pbrrenderer_tpu.tools.tpu_checklist [--width ...]
 """
@@ -96,6 +99,24 @@ def main():
             approx = int(pipe.last_stats.tex_approx_taps)
             key = f"stage_budget_{budget or 'full'}"
             results[key] = {"fps": fps, "tex_approx_taps": approx}
+            print(json.dumps({"check": key, **results[key]}), flush=True)
+
+    if sel is None or "envbudget" in sel:
+        from ..ops import envcache
+        from .tap_census import env_census_for_pose
+
+        census = env_census_for_pose(app.pipeline, cam)
+        rec = envcache.recommend_budget([census])
+        results["env_census"] = {**census, "recommended": rec}
+        print(json.dumps({"check": "env_census", **results["env_census"]}),
+              flush=True)
+        for budget in (None, rec, 48):
+            pipe = mk(env_budget=budget)
+            fps = round(fps_of(pipe, cam, args.frames), 3)
+            np.asarray(pipe.render(cam, collect_stats=True))
+            approx = int(pipe.last_stats.env_approx_taps)
+            key = f"env_budget_{budget or 'full'}"
+            results[key] = {"fps": fps, "env_approx_taps": approx}
             print(json.dumps({"check": key, **results[key]}), flush=True)
 
     print(json.dumps({"check": "ALL", "results": results}))

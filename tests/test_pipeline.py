@@ -172,6 +172,38 @@ def test_tex_approx_stat_surfaced(camera):
     )
     kpipe.render(camera)
     assert kpipe.last_stats.tex_approx_taps >= 0  # present and integer
+    assert kpipe.last_stats.env_approx_taps >= 0
+
+
+def test_env_budget_census_and_starvation(camera):
+    """Env-cache demand-shaped staging at pipeline level: the census-
+    recommended budget reproduces the unbudgeted frame bit-exactly, and a
+    fallback-only starvation budget degrades with a COUNTED approx stat
+    (honesty contract — never silent)."""
+    from direct12pbrrenderer_tpu.ops import envcache
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+    from direct12pbrrenderer_tpu.tools.tap_census import env_census_for_pose
+
+    mk = lambda **kw: DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+        use_tex_kernel=True, pallas_interpret=True, **kw,
+    )
+    full = mk()
+    img_full = np.asarray(full.render(camera, collect_stats=True))
+    base_approx = full.last_stats.env_approx_taps
+
+    census = env_census_for_pose(full, camera)
+    budget = envcache.recommend_budget([census])
+    sized = mk(env_budget=budget)
+    np.testing.assert_array_equal(
+        np.asarray(sized.render(camera)), img_full
+    )
+
+    g = 5 if full.env_ids[4] else 4
+    tiny = mk(env_budget=envcache.SEG_CHUNK * g)
+    tiny.render(camera, collect_stats=True)
+    assert tiny.last_stats.env_approx_taps > base_approx
 
 
 def test_arbitrary_resolution_pad_and_crop():
