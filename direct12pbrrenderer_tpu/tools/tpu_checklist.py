@@ -14,6 +14,10 @@ tunnel returns:
   4. env_budget          — env-cache demand-shaped staging sweep, with the
                            measured per-pose env census printed first so the
                            swept budgets can be judged against real demand
+  5. rpc                 — decompose the ~30 ms/frame pipelined enqueue gap
+                           (round-3 trace): execute-only dispatch with a
+                           device-resident frame pack vs the full render()
+                           loop isolates the per-frame upload RPC's share
 
 Usage: python -m direct12pbrrenderer_tpu.tools.tpu_checklist [--width ...]
 """
@@ -101,7 +105,7 @@ def main():
             results[key] = {"fps": fps, "tex_approx_taps": approx}
             print(json.dumps({"check": key, **results[key]}), flush=True)
 
-    if sel is None or "envbudget" in sel:
+    if (sel is None or "envbudget" in sel) and app.pipeline.env_ids is not None:
         from ..ops import envcache
         from .tap_census import env_census_for_pose
 
@@ -118,6 +122,49 @@ def main():
             key = f"env_budget_{budget or 'full'}"
             results[key] = {"fps": fps, "env_approx_taps": approx}
             print(json.dumps({"check": key, **results[key]}), flush=True)
+
+    if sel is None or "rpc" in sel:
+        import jax.numpy as jnp
+
+        pipe = app.pipeline
+        # capture one frame pack by replaying render()'s host-side packing
+        p = pipe.packed
+        planes = cam.frustum_planes()
+        view = cam.view_matrix()
+        normal_mats = np.ascontiguousarray(
+            np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1)))
+        frame_f32 = np.concatenate([
+            p.model_mats.ravel(), normal_mats.ravel(),
+            np.asarray(view, np.float32).ravel(),
+            np.asarray(cam.world_matrix(), np.float32).ravel(),
+            np.asarray(cam.projection_matrix() @ view, np.float32).ravel(),
+            np.asarray(cam.position, np.float32).ravel(),
+            np.float32([1.0 / 60.0]),
+            p.instance_visibility(planes).astype(np.float32),
+            p.visible_lights(planes).astype(np.float32),
+        ]).astype(np.float32)
+        frame_dev = jnp.asarray(frame_f32)
+        avg = pipe.avg_luminance
+        np.asarray(pipe._frame_jit(pipe.buffers, frame_dev, avg)[0])  # warm
+        n = args.frames
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = pipe._frame_jit(pipe.buffers, frame_dev, avg)
+        np.asarray(out[0])
+        exec_only = (time.perf_counter() - t0) / n
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fd = jnp.asarray(frame_f32)
+            out = pipe._frame_jit(pipe.buffers, fd, avg)
+        np.asarray(out[0])
+        with_upload = (time.perf_counter() - t0) / n
+        full = 1.0 / fps_of(pipe, cam, n)
+        results["rpc"] = {
+            "exec_only_ms": round(exec_only * 1e3, 2),
+            "with_upload_ms": round(with_upload * 1e3, 2),
+            "full_render_ms": round(full * 1e3, 2),
+        }
+        print(json.dumps({"check": "rpc", **results["rpc"]}), flush=True)
 
     print(json.dumps({"check": "ALL", "results": results}))
 
