@@ -125,6 +125,20 @@ def brdf(albedo, metallic, roughness, normal, view_dir, light_dir):
 # Sampling sequences (brdf.hlsli:70-113)
 # ---------------------------------------------------------------------------
 
+def frustum_cull_aabbs(planes, mins, maxs):
+    """Device twin of utils.mathlib.frustum_cull_aabbs (Scene::CullModel /
+    LooseOctree traversal analog, vectorized): (N,) bool mask from (6, 4)
+    inward-facing planes and (N, 3) world AABB corners. Same p-vertex
+    selection and op order as the host version so masks agree bit-for-bit
+    in fp32 — per-frame culling runs ON DEVICE (the host stays out of the
+    frame loop; only the camera pack crosses the RPC boundary)."""
+    n = planes[:, :3]                                     # (6, 3)
+    d = planes[:, 3]
+    p = jnp.where(n[None, :, :] > 0, maxs[:, None, :], mins[:, None, :])
+    dist = (p * n[None, :, :]).sum(-1) + d[None, :]       # (N, 6)
+    return jnp.all(dist >= 0, axis=1)
+
+
 def hammersley(n: int) -> np.ndarray:
     """(n, 2) Hammersley points — computed host-side (static), fed as consts."""
     i = np.arange(n, dtype=np.uint32)

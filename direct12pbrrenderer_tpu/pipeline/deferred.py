@@ -228,12 +228,44 @@ class DeferredRenderPipeline:
         self.avg_luminance = jnp.asarray(0.0, jnp.float32)
         self._frame_jit = jax.jit(self._frame)
         self.last_stats: FrameStats | None = None
+        # upload caches: scene/camera packs are only re-uploaded on change
+        self._scene_np = self._scene_dev = None
+        self._cam_np = self._cam_dev = None
 
     # ------------------------------------------------------------------
     def _build_graph(self) -> fg.CompiledGraph:
         cfg = self.config
         w, h = cfg.width, cfg.height          # logical viewport
         rw, rh = self.render_w, self.render_h  # padded raster canvas
+
+        def cull_pass(env):
+            # Scene::CullModel / light cull on DEVICE (vectorized AABB vs
+            # Gribb-Hartmann planes — the LooseOctree traversal's TPU-era
+            # analog, SURVEY §7): keeps the host out of the frame loop
+            p = self.packed
+            n_inst, n_lgt = p.instance_count, p.light_count
+            i_pool = p.model_mats.shape[0]
+            l_pool = p.light_pos.shape[0]
+            vis = jnp.zeros((i_pool,), bool)
+            if n_inst:
+                m = common.frustum_cull_aabbs(
+                    env["FrustumPlanes"],
+                    env["InstanceBounds"][:n_inst, 0],
+                    env["InstanceBounds"][:n_inst, 1],
+                )
+                vis = vis.at[:n_inst].set(m)
+            lv = jnp.zeros((l_pool,), bool)
+            if n_lgt:
+                m = common.frustum_cull_aabbs(
+                    env["FrustumPlanes"],
+                    env["LightBounds"][:n_lgt, 0],
+                    env["LightBounds"][:n_lgt, 1],
+                )
+                lv = lv.at[:n_lgt].set(m)
+            counts = jnp.stack([vis.sum(dtype=jnp.int32),
+                                lv.sum(dtype=jnp.int32)])
+            return {"InstanceVisible": vis, "LightValid": lv,
+                    "VisibleCounts": counts}
 
         def clustered_pass(env):
             active = stages.active_lights(
@@ -366,10 +398,17 @@ class DeferredRenderPipeline:
             return {"BackBuffer": (rgb8, env["AverageLuminance"],
                                    env["BinCounts"], env["TexApproxCount"],
                                    env["LightTruncCount"],
-                                   env["EnvApproxCount"])}
+                                   env["EnvApproxCount"],
+                                   env["VisibleCounts"])}
 
         static_reads = tuple(self.buffers.keys())
         passes = [
+            fg.RenderPass(
+                "Cull",
+                ("FrustumPlanes", "InstanceBounds", "LightBounds"),
+                ("InstanceVisible", "LightValid", "VisibleCounts"),
+                cull_pass,
+            ),
             fg.RenderPass(
                 "Clustered",
                 ("ClusterBounds", "View", "light_pos", "light_attenuation",
@@ -432,7 +471,8 @@ class DeferredRenderPipeline:
             fg.RenderPass(
                 "Present",
                 ("ToneMappedTexture", "AverageLuminance", "BinCounts",
-                 "TexApproxCount", "LightTruncCount", "EnvApproxCount"),
+                 "TexApproxCount", "LightTruncCount", "EnvApproxCount",
+                 "VisibleCounts"),
                 ("BackBuffer",),
                 present_pass,
             ),
@@ -440,30 +480,40 @@ class DeferredRenderPipeline:
         return fg.compile_graph(passes, present="Present")
 
     # ------------------------------------------------------------------
-    def _frame(self, buffers, frame_f32, prev_avg_lum):
-        # unpack the single per-frame float upload (see render(): one
-        # host->device transfer instead of ~8 — on the remote-attached
-        # platform every transfer is an RPC, and per-frame RPC issue time
-        # is what gates the pipelined frame rate)
-        i = self.packed.model_mats.shape[0]
-        mm = frame_f32[: i * 16].reshape(i, 4, 4)
+    def _frame(self, buffers, scene_f32, cam_f32, prev_avg_lum):
+        # two packed uploads feed the frame: the SCENE pack (matrices +
+        # world AABBs — re-uploaded only when a transform actually changes,
+        # see render()) and the tiny CAMERA pack (76 floats, per frame).
+        # Frustum culling runs on device (the Cull graph pass), so on the
+        # remote-attached platform — where every transfer is an RPC and
+        # per-frame RPC issue time gates the pipelined frame rate — a
+        # static scene costs one small upload per frame, independent of
+        # instance count.
+        p = self.packed
+        i = p.model_mats.shape[0]
+        mm = scene_f32[: i * 16].reshape(i, 4, 4)
         off = i * 16
-        nm = frame_f32[off : off + i * 9].reshape(i, 3, 3)
+        nm = scene_f32[off : off + i * 9].reshape(i, 3, 3)
         off += i * 9
-        view = frame_f32[off : off + 16].reshape(4, 4)
-        inv_view = frame_f32[off + 16 : off + 32].reshape(4, 4)
-        view_proj = frame_f32[off + 32 : off + 48].reshape(4, 4)
-        camera_pos = frame_f32[off + 48 : off + 51]
-        delta_time = frame_f32[off + 51]
-        off += 52
-        n_light = self.packed.light_pos.shape[0]
-        masks = frame_f32[off:] > 0.5
+        nb = p.instance_bounds.shape[0]
+        ib = scene_f32[off : off + nb * 6].reshape(nb, 2, 3)
+        off += nb * 6
+        lbn = p.light_bounds.shape[0]
+        lb = scene_f32[off : off + lbn * 6].reshape(lbn, 2, 3)
+
+        planes = cam_f32[:24].reshape(6, 4)
+        view = cam_f32[24:40].reshape(4, 4)
+        inv_view = cam_f32[40:56].reshape(4, 4)
+        view_proj = cam_f32[56:72].reshape(4, 4)
+        camera_pos = cam_f32[72:75]
+        delta_time = cam_f32[75]
         env = dict(buffers)
         env.update(
             ModelMats=mm,
             NormalMats=nm,
-            InstanceVisible=masks[: masks.shape[0] - n_light],
-            LightValid=masks[masks.shape[0] - n_light :],
+            InstanceBounds=ib,
+            LightBounds=lb,
+            FrustumPlanes=planes,
             View=view,
             InvView=inv_view,
             ViewProj=view_proj,
@@ -482,30 +532,43 @@ class DeferredRenderPipeline:
 
         collect_stats=False skips the host readback of the bin counters so
         frames stay fully async (benchmark path)."""
-        planes = camera.frustum_planes()
         p = self.packed
-        visible = p.instance_visibility(planes)
-        lights = p.visible_lights(planes)
-
-        inv_models = p.inv_model_mats
+        # SCENE pack (matrices + world AABBs): re-uploaded only when a
+        # transform changed — a static scene pays zero scene-upload RPCs
+        # per frame regardless of instance count (culling is on device)
         normal_mats = np.ascontiguousarray(
-            np.transpose(inv_models[:, :3, :3], (0, 2, 1))
+            np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1))
         )
-
-        view = camera.view_matrix()
-        frame_f32 = np.concatenate([
+        scene_f32 = np.concatenate([
             p.model_mats.ravel(), normal_mats.ravel(),
+            p.instance_bounds.ravel(), p.light_bounds.ravel(),
+        ]).astype(np.float32)
+        if self._scene_np is None or not np.array_equal(
+            self._scene_np, scene_f32
+        ):
+            self._scene_np = scene_f32
+            self._scene_dev = jnp.asarray(scene_f32)
+
+        # CAMERA pack: 76 floats per frame (planes + view/inv/proj + pos
+        # + dt); skipped too when bit-identical (static-pose loops)
+        view = camera.view_matrix()
+        cam_f32 = np.concatenate([
+            np.asarray(camera.frustum_planes(), np.float32).ravel(),
             np.asarray(view, np.float32).ravel(),
             np.asarray(camera.world_matrix(), np.float32).ravel(),
             np.asarray(camera.projection_matrix() @ view, np.float32).ravel(),
             np.asarray(camera.position, np.float32).ravel(),
             np.float32([delta_time]),
-            visible.astype(np.float32), lights.astype(np.float32),
         ]).astype(np.float32)
-        rgb8, avg, bin_counts, tex_approx, light_trunc, env_approx = \
-            self._frame_jit(
+        if self._cam_np is None or not np.array_equal(self._cam_np, cam_f32):
+            self._cam_np = cam_f32
+            self._cam_dev = jnp.asarray(cam_f32)
+
+        (rgb8, avg, bin_counts, tex_approx, light_trunc, env_approx,
+         vis_counts) = self._frame_jit(
             self.buffers,
-            jnp.asarray(frame_f32),
+            self._scene_dev,
+            self._cam_dev,
             self.avg_luminance,
         )
         self.avg_luminance = avg
@@ -526,9 +589,10 @@ class DeferredRenderPipeline:
                         int(np.maximum(over[:-hot_k] - cap_small, 0).max())
                         if hot_k else int((over - cap_small).max()),
                     )
-            n_vis_lights = int(lights.sum())
+            vis_np = np.asarray(vis_counts)
+            n_vis_lights = int(vis_np[1])
             self.last_stats = FrameStats(
-                visible_instances=int(visible.sum()),
+                visible_instances=int(vis_np[0]),
                 total_instances=p.instance_count,
                 visible_lights=n_vis_lights,
                 bin_overflow=overflow,

@@ -206,6 +206,38 @@ def test_env_budget_census_and_starvation(camera):
     assert tiny.last_stats.env_approx_taps > base_approx
 
 
+def test_device_cull_matches_host(camera):
+    """The on-device Cull pass (ops/common.frustum_cull_aabbs) must agree
+    with the host twin (utils/mathlib) over a camera sweep — same p-vertex
+    selection, same fp32 op order, so the masks match exactly."""
+    import jax.numpy as jnp
+
+    from direct12pbrrenderer_tpu.ops import common
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    pipe = DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+    )
+    p = pipe.packed
+    cam = Camera(CFG.fov, CFG.width, CFG.height, CFG.near, CFG.far)
+    cam.move([0, 0, 4])
+    for i in range(8):
+        cam.rotate(0.05, np.pi / 4, 0.0)
+        planes = cam.frustum_planes()
+        host = p.instance_visibility(planes)
+        dev = np.zeros_like(host)
+        n = p.instance_count
+        dev[:n] = np.asarray(common.frustum_cull_aabbs(
+            jnp.asarray(planes), jnp.asarray(p.instance_bounds[:n, 0]),
+            jnp.asarray(p.instance_bounds[:n, 1]),
+        ))
+        np.testing.assert_array_equal(dev, host)
+        # FrameStats counts come from the device now: cross-check one pose
+        pipe.render(cam)
+        assert pipe.last_stats.visible_instances == int(host.sum())
+
+
 def test_arbitrary_resolution_pad_and_crop():
     """Any width x height renders (the reference renders at any window size,
     App.h:77-78): the raster canvas pads to the tile grid and the RT is
