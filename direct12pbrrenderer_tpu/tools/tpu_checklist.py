@@ -127,35 +127,38 @@ def main():
         import jax.numpy as jnp
 
         pipe = app.pipeline
-        # capture one frame pack by replaying render()'s host-side packing
+        # capture the packs by replaying render()'s host-side packing
         p = pipe.packed
-        planes = cam.frustum_planes()
         view = cam.view_matrix()
         normal_mats = np.ascontiguousarray(
             np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1)))
-        frame_f32 = np.concatenate([
+        scene_f32 = np.concatenate([
             p.model_mats.ravel(), normal_mats.ravel(),
+            p.instance_bounds.ravel(), p.light_bounds.ravel(),
+        ]).astype(np.float32)
+        cam_f32 = np.concatenate([
+            np.asarray(cam.frustum_planes(), np.float32).ravel(),
             np.asarray(view, np.float32).ravel(),
             np.asarray(cam.world_matrix(), np.float32).ravel(),
             np.asarray(cam.projection_matrix() @ view, np.float32).ravel(),
             np.asarray(cam.position, np.float32).ravel(),
             np.float32([1.0 / 60.0]),
-            p.instance_visibility(planes).astype(np.float32),
-            p.visible_lights(planes).astype(np.float32),
         ]).astype(np.float32)
-        frame_dev = jnp.asarray(frame_f32)
+        scene_dev = jnp.asarray(scene_f32)
+        cam_dev = jnp.asarray(cam_f32)
         avg = pipe.avg_luminance
-        np.asarray(pipe._frame_jit(pipe.buffers, frame_dev, avg)[0])  # warm
+        np.asarray(
+            pipe._frame_jit(pipe.buffers, scene_dev, cam_dev, avg)[0])  # warm
         n = args.frames
         t0 = time.perf_counter()
         for _ in range(n):
-            out = pipe._frame_jit(pipe.buffers, frame_dev, avg)
+            out = pipe._frame_jit(pipe.buffers, scene_dev, cam_dev, avg)
         np.asarray(out[0])
         exec_only = (time.perf_counter() - t0) / n
         t0 = time.perf_counter()
         for _ in range(n):
-            fd = jnp.asarray(frame_f32)
-            out = pipe._frame_jit(pipe.buffers, fd, avg)
+            cd = jnp.asarray(cam_f32)
+            out = pipe._frame_jit(pipe.buffers, scene_dev, cd, avg)
         np.asarray(out[0])
         with_upload = (time.perf_counter() - t0) / n
         full = 1.0 / fps_of(pipe, cam, n)
