@@ -511,7 +511,8 @@ def sample_env_tiled(
 
 # ------------------------------------------------------------- census -----
 def tap_census(atlas: FloatAtlas, tex, mip, u, v, active,
-               tile_h: int = 24, tile_w: int = 128):
+               tile_h: int = 24, tile_w: int = 128,
+               caps: tuple = (32, 32, 32, 32, 16)):
     """Measure realized distinct-page demand per (tile, group) for the env
     cache's tap stream (the exact addressing `sample_env_tiled` uses), plus
     the per-tile TOTAL compact-staging span. Feed a few camera poses through
@@ -542,7 +543,12 @@ def tap_census(atlas: FloatAtlas, tex, mip, u, v, active,
     first = flat[:, :1] != SENTINEL
     rest = (flat[:, 1:] != flat[:, :-1]) & (flat[:, 1:] != SENTINEL)
     counts = np.asarray(first.sum(-1) + rest.sum(-1)).reshape(tiles_n, g)
-    span = -(-(CAP_FB + counts) // SEG_CHUNK) * SEG_CHUNK
+    # staged spans are bounded by the group caps (over-cap taps resolve via
+    # the counted LOD-cascade/coarse fallback), so the budget is sized from
+    # CAPPED demand — uncapped tails would overshoot the full layout
+    cap_arr = np.asarray(caps[:g], np.int64)
+    capped = np.minimum(counts, cap_arr[None, :])
+    span = -(-(CAP_FB + capped) // SEG_CHUNK) * SEG_CHUNK
     totals = span.sum(-1)
     return {
         "group": {

@@ -1055,6 +1055,8 @@ def tap_census(
     filter: str = "trilinear",
     tile_h: int | None = None,
     tile_w: int | None = None,
+    cap_lo: int = 92,
+    cap_hi: int = 44,
 ):
     """Measure realized distinct-page demand per (tile, slot, mip-half).
 
@@ -1110,9 +1112,14 @@ def tap_census(
             "mean": float(counts.mean()),
         }
         # per-group staged span in the compact layout: [fb|cover] rounded to
-        # the SEG_CHUNK sweep granularity
-        span = (-(-(CAP_FB + counts.reshape(tiles_n, g))
-                  // SEG_CHUNK) * SEG_CHUNK)
+        # the SEG_CHUNK sweep granularity. Demand is CAPPED at the group cap
+        # first — the staged span never exceeds cap+CAP_FB regardless of raw
+        # demand (over-cap taps already resolve via the counted fallback),
+        # so budgets sized from uncapped tails would overshoot the full
+        # cap-shaped layout and the knob would be a no-op.
+        cap_g = cap_lo if name == "lo" else cap_hi
+        capped = np.minimum(counts.reshape(tiles_n, g), cap_g)
+        span = -(-(CAP_FB + capped) // SEG_CHUNK) * SEG_CHUNK
         tile_spans = span if tile_spans is None else tile_spans + span
         if not trilinear:
             out["hi"] = {"max": 0, "p99": 0, "mean": 0.0}

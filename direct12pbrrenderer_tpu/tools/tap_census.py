@@ -106,12 +106,12 @@ def env_census_for_pose(pipe, camera):
         cfg.fov, cfg.ratio, cfg.near, cfg.far,
         full_height=cfg.height, full_width=cfg.width,
     )
-    tex5, mip5, uq, vq, act, *_ = shading.env_tap_groups(
+    tex5, mip5, uq, vq, act, _fb, caps, *_ = shading.env_tap_groups(
         refl, ray, gb.rough_metal_ao[..., 0], n_dot_v, gb.mask, pipe.env_ids
     )
     th, tw = pipe.env_tile
     return envcache.tap_census(pipe.env_atlas, tex5, mip5, uq, vq, act,
-                               tile_h=th, tile_w=tw)
+                               tile_h=th, tile_w=tw, caps=caps)
 
 
 def run_census(pipe, camera, poses: int = 8, yaw_sweep_deg: float = 360.0,

@@ -238,7 +238,7 @@ def test_env_tap_census_and_budget_roundtrip():
     rng = np.random.default_rng(17)
     pack = _build(rng, env_size=16, env_mips=2)
     tex, mip, u, v, act, fb = _budget_inputs(rng, pack)
-    census = envcache.tap_census(pack[0], tex, mip, u, v, act)
+    census = envcache.tap_census(pack[0], tex, mip, u, v, act, caps=(40, 8))
     assert census["group"]["max"] >= 1
     budget = envcache.recommend_budget([census], headroom=1.0)
     assert budget % envcache.SEG_CHUNK == 0
