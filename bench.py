@@ -59,13 +59,18 @@ def main():
                 tile_w=128,
             )
         )
-        if args.texture_filter != "trilinear":
-            from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+        # census-sized env staging budget for this scene: 6-pose yaw sweep
+        # @1080p measured worst capped tile-total = 128 pages vs the
+        # 184-page full layout (docs/PERF.md) — +1 SEG_CHUNK margin, still
+        # bit-exact at every sampled pose. Texcache budget stays worst-case:
+        # the bench pose's worst tile realizes the full 720-page layout.
+        from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
 
-            app.pipeline = DeferredRenderPipeline(
-                app.scene, app.pipeline.config, tile_h=24, tile_w=128,
-                bin_cap=2048, texture_filter=args.texture_filter,
-            )
+        app.pipeline = DeferredRenderPipeline(
+            app.scene, app.pipeline.config, tile_h=24, tile_w=128,
+            bin_cap=2048, texture_filter=args.texture_filter,
+            env_budget=136,
+        )
         pipe, cam, frames = app.pipeline, app.camera, args.frames
 
     # warmup / compile (2 frames: first compiles, second confirms steady state)

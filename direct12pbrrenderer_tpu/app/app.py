@@ -48,6 +48,9 @@ class AppConfig:
     prefilter_size: int | None = None
     max_triangles: int = 65536
     max_vertices: int = 65536
+    # census-sized page budgets (tools/tap_census.py); None = worst-case
+    tex_caps: tuple | None = None
+    env_budget: int | None = None
 
 
 class App:
@@ -75,6 +78,8 @@ class App:
             bin_cap=cfg.bin_cap,
             atlas_max_dim=cfg.atlas_max_dim,
             prefilter_size=cfg.prefilter_size,
+            tex_caps=cfg.tex_caps,
+            env_budget=cfg.env_budget,
         )
         # camera defaults match App::Initialize (App.cpp:99-101)
         self.camera = Camera(DEFAULT_FOV, cfg.width, cfg.height, DEFAULT_NEAR, DEFAULT_FAR)
@@ -156,6 +161,11 @@ def main(argv=None):
     ap.add_argument("--pitch", type=float, default=0.0)
     ap.add_argument("--bin-cap", type=int, default=1024)
     ap.add_argument("--tile", type=int, nargs=2, default=(60, 160))
+    ap.add_argument("--tex-budget", type=int, default=None,
+                    help="texture-cache staging page budget "
+                         "(tools/tap_census.py sizes it)")
+    ap.add_argument("--env-budget", type=int, default=None,
+                    help="env-cache staging page budget")
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="run the interactive browser viewer instead of "
                          "writing frames (WASD + right-drag fly camera)")
@@ -176,6 +186,8 @@ def main(argv=None):
             tile_h=args.tile[0],
             tile_w=args.tile[1],
             bin_cap=args.bin_cap,
+            tex_caps=(92, 44, args.tex_budget) if args.tex_budget else None,
+            env_budget=args.env_budget,
         )
     )
     if args.serve:
