@@ -33,6 +33,9 @@ SLOW_MODULES = {
 }
 
 SLOW_TESTS = {
+    "test_pipeline.py::test_env_budget_census_and_starvation",
+    "test_texcache.py::test_stage_budget_truncation_and_exactness",
+    "test_texcache.py::test_tap_census_recommend_covers",
     "test_import_e2e.py::test_imported_model_renders",
     "test_lights_pallas.py::test_pipeline_light_tile_path",
     "test_raster_pallas.py::test_two_pass_hot_tiles_match_xla",
