@@ -73,8 +73,39 @@ def main():
         )
         pipe, cam, frames = app.pipeline, app.camera, args.frames
 
-    # warmup / compile (2 frames: first compiles, second confirms steady state)
-    np.asarray(pipe.render(cam, collect_stats=False))
+    # warmup / compile (2 frames: first compiles, second confirms steady
+    # state). The primary config leans on Pallas kernels with dynamic
+    # scalar-prefetch bases; if the Mosaic compile of any of them regresses
+    # on this toolchain, degrade stepwise instead of losing the bench:
+    # (1) cap-shaped env staging, (2) XLA sampler paths.
+    fallback = None
+    if not args.smoke:
+        from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+        for attempt, kw in (
+            (None, {}),
+            ("env-full-layout", {"env_budget": None}),
+            ("xla-samplers", {"env_budget": None, "use_tex_kernel": False,
+                              "use_pallas": False}),
+        ):
+            try:
+                if attempt is not None:
+                    print(f"bench: falling back to {attempt}", file=sys.stderr)
+                    app.pipeline = pipe = DeferredRenderPipeline(
+                        app.scene, app.pipeline.config, tile_h=24,
+                        tile_w=128, bin_cap=2048,
+                        texture_filter=args.texture_filter, **kw,
+                    )
+                    fallback = attempt
+                np.asarray(pipe.render(cam, collect_stats=False))
+                break
+            except Exception as e:
+                print(f"bench: config failed: {repr(e)[:300]}",
+                      file=sys.stderr)
+                if attempt == "xla-samplers":
+                    raise
+    else:
+        np.asarray(pipe.render(cam, collect_stats=False))
     np.asarray(pipe.render(cam, collect_stats=False))
 
     t0 = time.perf_counter()
@@ -92,6 +123,8 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
     }
+    if fallback is not None:
+        result["fallback"] = fallback
 
     if not args.smoke and not args.skip_secondary:
         # secondary: the north-star Sponza-CLASS density (262k-triangle
