@@ -342,11 +342,16 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
     elif use_tex_kernel:
         from . import texcache
 
+        # tex_caps: (cap_lo, cap_hi[, stage_budget[, block_cap]]) — the
+        # census-sized knobs (tools/tap_census.py); None entries keep the
+        # worst-case defaults
         cap_kw = {}
         if tex_caps is not None:
             cap_kw = {"cap_lo": tex_caps[0], "cap_hi": tex_caps[1]}
-            if len(tex_caps) > 2:
+            if len(tex_caps) > 2 and tex_caps[2] is not None:
                 cap_kw["stage_budget"] = tex_caps[2]
+            if len(tex_caps) > 3 and tex_caps[3] is not None:
+                cap_kw["block_cap"] = tex_caps[3]
         samples, approx = texcache.sample_atlas_textured(
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],

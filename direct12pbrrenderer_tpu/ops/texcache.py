@@ -1106,10 +1106,20 @@ def tap_census(
         first = flat[:, :1] != SENTINEL
         rest = (flat[:, 1:] != flat[:, :-1]) & (flat[:, 1:] != SENTINEL)
         counts = np.asarray(first.sum(-1) + rest.sum(-1))  # (tiles*g,)
+        # per-128px-row distinct pages: what the two-level cover's
+        # `block_cap` must hold (rows beyond it lose coverage -> fallback).
+        # The cover kernel's rank-matrix merge is O((blocks*block_cap)^2),
+        # so a measured block_cap is a direct VPU-cost lever.
+        rows = jnp.sort(pg.reshape(tiles_n * g * blocks, 128), axis=-1)
+        rfirst = rows[:, :1] != SENTINEL
+        rrest = (rows[:, 1:] != rows[:, :-1]) & (rows[:, 1:] != SENTINEL)
+        rcounts = np.asarray(rfirst.sum(-1) + rrest.sum(-1))
         out[name] = {
             "max": int(counts.max()),
             "p99": int(np.percentile(counts, 99)),
             "mean": float(counts.mean()),
+            "row_max": int(rcounts.max()),
+            "row_p999": int(np.percentile(rcounts, 99.9)),
         }
         # per-group staged span in the compact layout: [fb|cover] rounded to
         # the SEG_CHUNK sweep granularity. Demand is CAPPED at the group cap

@@ -105,6 +105,19 @@ def main():
             results[key] = {"fps": fps, "tex_approx_taps": approx}
             print(json.dumps({"check": key, **results[key]}), flush=True)
 
+    if sel is None or "blockcap" in sel:
+        # block-level cover capacity: the fused cover kernel's rank-matrix
+        # merge is O((blocks*block_cap)^2) VPU work; census row_max says
+        # what a row actually holds (tools/tap_census.py row stats)
+        for bc in (16, 12, 8):
+            pipe = mk(tex_caps=(92, 44, None, bc))
+            fps = round(fps_of(pipe, cam, args.frames), 3)
+            np.asarray(pipe.render(cam, collect_stats=True))
+            approx = int(pipe.last_stats.tex_approx_taps)
+            key = f"block_cap_{bc}"
+            results[key] = {"fps": fps, "tex_approx_taps": approx}
+            print(json.dumps({"check": key, **results[key]}), flush=True)
+
     if (sel is None or "envbudget" in sel) and app.pipeline.env_ids is not None:
         from ..ops import envcache
         from .tap_census import env_census_for_pose
