@@ -227,6 +227,7 @@ class DeferredRenderPipeline:
         self.graph = self._build_graph()
         self.avg_luminance = jnp.asarray(0.0, jnp.float32)
         self._frame_jit = jax.jit(self._frame)
+        self._frame_seq_jit = jax.jit(self._frame_seq)
         self.last_stats: FrameStats | None = None
         # upload caches: scene/camera packs are only re-uploaded on change
         self._scene_np = self._scene_dev = None
@@ -524,6 +525,68 @@ class DeferredRenderPipeline:
         out = fg.execute(self.graph, env)
         return out["BackBuffer"]
 
+    def _frame_seq(self, buffers, scene_f32, cam_seq_f32, prev_avg_lum):
+        """N frames in ONE dispatch: lax.scan over per-frame camera packs
+        with the exposure EMA threaded as the scan carry.
+
+        On this remote-attached platform each dispatch costs ~30 ms of RPC
+        enqueue that does NOT fully overlap device execution (docs/PERF.md
+        round-3 rpc decomposition); an animation/benchmark loop that knows
+        its camera path amortizes that to once per sequence. Semantically
+        identical to N render() calls (same per-frame camera packs, same
+        EMA carry chain) minus the per-frame stats outputs."""
+        def body(avg, cam_f32):
+            out = self._frame(buffers, scene_f32, cam_f32, avg)
+            return out[1], out[0]  # carry new avg, emit rgb8
+
+        avg, frames = jax.lax.scan(body, prev_avg_lum, cam_seq_f32)
+        return frames, avg
+
+    # ------------------------------------------------------------------
+    def _pack_camera(self, camera: Camera, delta_time: float) -> np.ndarray:
+        view = camera.view_matrix()
+        return np.concatenate([
+            np.asarray(camera.frustum_planes(), np.float32).ravel(),
+            np.asarray(view, np.float32).ravel(),
+            np.asarray(camera.world_matrix(), np.float32).ravel(),
+            np.asarray(camera.projection_matrix() @ view, np.float32).ravel(),
+            np.asarray(camera.position, np.float32).ravel(),
+            np.float32([delta_time]),
+        ]).astype(np.float32)
+
+    def _pack_scene(self) -> np.ndarray:
+        p = self.packed
+        normal_mats = np.ascontiguousarray(
+            np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1))
+        )
+        return np.concatenate([
+            p.model_mats.ravel(), normal_mats.ravel(),
+            p.instance_bounds.ravel(), p.light_bounds.ravel(),
+        ]).astype(np.float32)
+
+    def render_sequence(self, cameras, delta_time: float = 1.0 / 60.0):
+        """Render a camera path as ONE device dispatch.
+
+        cameras: list of Camera (a real animation path — each frame gets its
+        own frustum/view/projection pack and the exposure EMA carries across
+        frames exactly like per-frame render() calls). Returns the stacked
+        (N, H, W, 3) uint8 frames (device array). The playback/benchmark
+        analog of the reference's frame loop (App.cpp:354-380) without
+        per-frame host round-trips."""
+        scene_f32 = self._pack_scene()
+        if self._scene_np is None or not np.array_equal(
+            self._scene_np, scene_f32
+        ):
+            self._scene_np = scene_f32
+            self._scene_dev = jnp.asarray(scene_f32)
+        cam_seq = np.stack([self._pack_camera(c, delta_time) for c in cameras])
+        frames, avg = self._frame_seq_jit(
+            self.buffers, self._scene_dev, jnp.asarray(cam_seq),
+            self.avg_luminance,
+        )
+        self.avg_luminance = avg
+        return frames
+
     # ------------------------------------------------------------------
     def render(
         self, camera: Camera, delta_time: float = 1.0 / 60.0, collect_stats: bool = True
@@ -536,13 +599,7 @@ class DeferredRenderPipeline:
         # SCENE pack (matrices + world AABBs): re-uploaded only when a
         # transform changed — a static scene pays zero scene-upload RPCs
         # per frame regardless of instance count (culling is on device)
-        normal_mats = np.ascontiguousarray(
-            np.transpose(p.inv_model_mats[:, :3, :3], (0, 2, 1))
-        )
-        scene_f32 = np.concatenate([
-            p.model_mats.ravel(), normal_mats.ravel(),
-            p.instance_bounds.ravel(), p.light_bounds.ravel(),
-        ]).astype(np.float32)
+        scene_f32 = self._pack_scene()
         if self._scene_np is None or not np.array_equal(
             self._scene_np, scene_f32
         ):
@@ -551,15 +608,7 @@ class DeferredRenderPipeline:
 
         # CAMERA pack: 76 floats per frame (planes + view/inv/proj + pos
         # + dt); skipped too when bit-identical (static-pose loops)
-        view = camera.view_matrix()
-        cam_f32 = np.concatenate([
-            np.asarray(camera.frustum_planes(), np.float32).ravel(),
-            np.asarray(view, np.float32).ravel(),
-            np.asarray(camera.world_matrix(), np.float32).ravel(),
-            np.asarray(camera.projection_matrix() @ view, np.float32).ravel(),
-            np.asarray(camera.position, np.float32).ravel(),
-            np.float32([delta_time]),
-        ]).astype(np.float32)
+        cam_f32 = self._pack_camera(camera, delta_time)
         if self._cam_np is None or not np.array_equal(self._cam_np, cam_f32):
             self._cam_np = cam_f32
             self._cam_dev = jnp.asarray(cam_f32)

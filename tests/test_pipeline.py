@@ -103,6 +103,36 @@ def test_exposure_adapts_over_frames(pipeline, camera):
     assert a1 > 0
 
 
+def test_render_sequence_matches_per_frame(camera):
+    """render_sequence (N frames in one dispatch, scan over camera packs)
+    must reproduce N per-frame render() calls exactly: same frames, same
+    exposure-EMA carry chain. Fresh pipelines (the shared fixture's EMA
+    state is test-order dependent)."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    mk = lambda: DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=60, tile_w=160, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+    )
+    cams = []
+    for i in range(3):
+        c = Camera(CFG.fov, CFG.width, CFG.height, CFG.near, CFG.far)
+        c.move([0.1 * i, 0, 4])
+        c.rotate(0, np.pi + 0.02 * i, 0)
+        cams.append(c)
+
+    a = mk()
+    singles = [np.asarray(a.render(c, delta_time=0.25)) for c in cams]
+    avg_a = float(a.avg_luminance)
+
+    b = mk()
+    seq = np.asarray(b.render_sequence(cams, delta_time=0.25))
+    assert seq.shape == (3, CFG.height, CFG.width, 3)
+    for i in range(3):
+        np.testing.assert_array_equal(seq[i], singles[i])
+    assert float(b.avg_luminance) == avg_a
+
+
 def test_camera_behind_culls_everything(pipeline):
     cam = Camera(CFG.fov, CFG.width, CFG.height, CFG.near, CFG.far)
     cam.move([0, 0, 4])  # looking +z, sphere is behind
