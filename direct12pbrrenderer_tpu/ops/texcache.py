@@ -384,82 +384,103 @@ def _fused_cover_kernel(pages_ref, act_ref, list_out, cnt_out, slot_out,
     at 1080p (xprof round-3). Bit-identical to the sort path: the merge is
     an ascending min-extract over the block candidates, which is exactly
     the rank order _distinct_by_sort produces."""
+    for gi in range(g):
+        cap_g = caps[gi]
+        pages = pages_ref[0, gi]                       # (blocks, 128) i32
+        act = act_ref[0, gi] != 0
+        blocks = pages.shape[0]
+
+        # empty-group gate: tiles fully in sky and material slots unused in
+        # a tile have zero active taps — skip the whole scan + merge for
+        # them (the zero outputs below are exactly what the full body
+        # produces on an all-inactive group, so this is bit-identical)
+        list_out[0, gi] = jnp.zeros((128,), jnp.int32)
+        cnt_out[0, gi] = jnp.zeros((128,), jnp.int32)
+        slot_out[0, gi] = jnp.zeros(pages.shape, jnp.int32)
+        cov_out[0, gi] = jnp.zeros(pages.shape, jnp.int32)
+
+        @pl.when(jnp.any(act))
+        def _group_body(gi=gi, cap_g=cap_g, pages=pages, act=act):
+            _fused_cover_group(pages_ref, act_ref, list_out, cnt_out,
+                               slot_out, cov_out, gi, cap_g, pages, act,
+                               block_cap=block_cap, cap_max=cap_max, g=g)
+
+
+def _fused_cover_group(pages_ref, act_ref, list_out, cnt_out, slot_out,
+                       cov_out, gi, cap_g, pages, act, *,
+                       block_cap, cap_max, g):
+    """One (tile, group) cover plan — the body of _fused_cover_kernel,
+    split out so the empty-group pl.when gate can wrap it."""
     def row_of(col, n_pad):
-        """(n_pad, 1) column -> (1, n_pad) row, Mosaic-legal: per-128 chunk,
-        lane-broadcast then 128x128 transpose (no cross-lane reshape)."""
         chunks = []
         for c in range(n_pad // 128):
             blk = jnp.broadcast_to(col[c * 128:(c + 1) * 128], (128, 128))
             chunks.append(jnp.transpose(blk)[0:1, :])
         return jnp.concatenate(chunks, axis=1) if len(chunks) > 1 else chunks[0]
 
-    for gi in range(g):
-        cap_g = caps[gi]
-        pages = pages_ref[0, gi]                       # (blocks, 128) i32
-        act = act_ref[0, gi] != 0
-        v = jnp.where(act, pages, SENTINEL)
+    v = jnp.where(act, pages, SENTINEL)
 
-        # block level: up to block_cap distinct per 128-px row (ascending).
-        # Candidates stack along axis 0 (k-major): index = k*blocks + row.
-        blocks = pages.shape[0]
-        slotA = jnp.full(pages.shape, block_cap, jnp.int32)
-        cands = []
-        for k in range(block_cap):
-            m = jnp.min(v, axis=1, keepdims=True)      # (blocks, 1)
-            live = m != SENTINEL
-            hit = (pages == m) & live
-            slotA = jnp.where(hit, k, slotA)
-            v = jnp.where(pages == m, SENTINEL, v)
-            cands.append(m)
-        cj = jnp.concatenate(cands, axis=0)            # (n0, 1) column
-        n0 = blocks * block_cap
-        n_pad = -(-n0 // 128) * 128
-        if n_pad != n0:
-            pad = jnp.full((n_pad - n0, 1), SENTINEL, jnp.int32)
-            ck = row_of(jnp.concatenate([cj, pad], axis=0), n_pad)
-        else:
-            ck = row_of(cj, n_pad)                     # (1, n_pad)
+    # block level: up to block_cap distinct per 128-px row (ascending).
+    # Candidates stack along axis 0 (k-major): index = k*blocks + row.
+    blocks = pages.shape[0]
+    slotA = jnp.full(pages.shape, block_cap, jnp.int32)
+    cands = []
+    for k in range(block_cap):
+        m = jnp.min(v, axis=1, keepdims=True)      # (blocks, 1)
+        live = m != SENTINEL
+        hit = (pages == m) & live
+        slotA = jnp.where(hit, k, slotA)
+        v = jnp.where(pages == m, SENTINEL, v)
+        cands.append(m)
+    cj = jnp.concatenate(cands, axis=0)            # (n0, 1) column
+    n0 = blocks * block_cap
+    n_pad = -(-n0 // 128) * 128
+    if n_pad != n0:
+        pad = jnp.full((n_pad - n0, 1), SENTINEL, jnp.int32)
+        ck = row_of(jnp.concatenate([cj, pad], axis=0), n_pad)
+    else:
+        ck = row_of(cj, n_pad)                     # (1, n_pad)
 
-        # tile level: dense rank-matrix merge — rank[j] = number of distinct
-        # candidate values below cand[j], via (n0, n_pad) vector compares
-        # (a serial min-extract loop stalls the VPU ~20 ms/frame; this is
-        # ~150k dense VPU ops per (tile, group))
-        valid_j = cj != SENTINEL
-        row_i = jax.lax.broadcasted_iota(jnp.int32, (n0, n_pad), 0)
-        col_i = jax.lax.broadcasted_iota(jnp.int32, (n0, n_pad), 1)
-        dup = ((cj == ck) & (col_i < row_i)).sum(axis=1, keepdims=True) > 0
-        first = valid_j & ~dup                          # (n0, 1)
-        first_i = first.astype(jnp.int32)
-        if n_pad != n0:
-            fpad = jnp.zeros((n_pad - n0, 1), jnp.int32)
-            first_k = row_of(jnp.concatenate([first_i, fpad], axis=0), n_pad)
-        else:
-            first_k = row_of(first_i, n_pad)            # (1, n_pad)
-        rank = ((ck < cj) & (first_k != 0)).sum(axis=1, keepdims=True)
-        rank_col = jnp.where(valid_j, rank, cap_max)    # (n0, 1)
-        cnt = first_i.sum()
-        lane = jax.lax.broadcasted_iota(jnp.int32, (n0, 128), 1)
-        sel = first & (rank == lane)                    # (n0, 128) one-hot
-        list_vec = jnp.where(sel, cj, 0).sum(axis=0, keepdims=True)
-        # match the sort path exactly: entries past min(count, cap_g) are 0
-        cnt_g = jnp.minimum(cnt, cap_g)
-        list_vec = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < cnt_g,
-            list_vec, 0,
-        )
+    # tile level: dense rank-matrix merge — rank[j] = number of distinct
+    # candidate values below cand[j], via (n0, n_pad) vector compares
+    # (a serial min-extract loop stalls the VPU ~20 ms/frame; this is
+    # ~150k dense VPU ops per (tile, group))
+    valid_j = cj != SENTINEL
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n0, n_pad), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (n0, n_pad), 1)
+    dup = ((cj == ck) & (col_i < row_i)).sum(axis=1, keepdims=True) > 0
+    first = valid_j & ~dup                          # (n0, 1)
+    first_i = first.astype(jnp.int32)
+    if n_pad != n0:
+        fpad = jnp.zeros((n_pad - n0, 1), jnp.int32)
+        first_k = row_of(jnp.concatenate([first_i, fpad], axis=0), n_pad)
+    else:
+        first_k = row_of(first_i, n_pad)            # (1, n_pad)
+    rank = ((ck < cj) & (first_k != 0)).sum(axis=1, keepdims=True)
+    rank_col = jnp.where(valid_j, rank, cap_max)    # (n0, 1)
+    cnt = first_i.sum()
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n0, 128), 1)
+    sel = first & (rank == lane)                    # (n0, 128) one-hot
+    list_vec = jnp.where(sel, cj, 0).sum(axis=0, keepdims=True)
+    # match the sort path exactly: entries past min(count, cap_g) are 0
+    cnt_g = jnp.minimum(cnt, cap_g)
+    list_vec = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < cnt_g,
+        list_vec, 0,
+    )
 
-        # per-pixel: slot/coverage via the block-candidate indirection
-        pix_slot = jnp.zeros(pages.shape, jnp.int32)
-        pix_cov = jnp.zeros(pages.shape, bool)
-        for b in range(block_cap):
-            m = slotA == b
-            rank_b = rank_col[b * blocks:(b + 1) * blocks]   # (blocks, 1)
-            pix_slot = jnp.where(m, jnp.minimum(rank_b, cap_g - 1), pix_slot)
-            pix_cov = pix_cov | (m & (rank_b < cap_g))
-        list_out[0, gi] = list_vec[0]
-        cnt_out[0, gi] = jnp.broadcast_to(cnt_g[None], (128,))
-        slot_out[0, gi] = pix_slot
-        cov_out[0, gi] = (pix_cov & act).astype(jnp.int32)
+    # per-pixel: slot/coverage via the block-candidate indirection
+    pix_slot = jnp.zeros(pages.shape, jnp.int32)
+    pix_cov = jnp.zeros(pages.shape, bool)
+    for b in range(block_cap):
+        m = slotA == b
+        rank_b = rank_col[b * blocks:(b + 1) * blocks]   # (blocks, 1)
+        pix_slot = jnp.where(m, jnp.minimum(rank_b, cap_g - 1), pix_slot)
+        pix_cov = pix_cov | (m & (rank_b < cap_g))
+    list_out[0, gi] = list_vec[0]
+    cnt_out[0, gi] = jnp.broadcast_to(cnt_g[None], (128,))
+    slot_out[0, gi] = pix_slot
+    cov_out[0, gi] = (pix_cov & act).astype(jnp.int32)
 
 
 def _fused_cover_kernel_dyn(pages_ref, act_ref, list_out, cnt_out, slot_out,
