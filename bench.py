@@ -66,10 +66,14 @@ def main():
         # the bench pose's worst tile realizes the full 720-page layout.
         from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
 
+        # block_cap=12 (4th tex_caps entry): the TPU sweep (docs/PERF.md
+        # round-3 checklist) measured +11% frame vs the default 16 at 0.44%
+        # of taps degrading to the counted coarsest-mip fallback; the
+        # tex_approx_taps honesty stat rides in this JSON.
         app.pipeline = DeferredRenderPipeline(
             app.scene, app.pipeline.config, tile_h=24, tile_w=128,
             bin_cap=2048, texture_filter=args.texture_filter,
-            env_budget=136,
+            env_budget=136, tex_caps=(92, 44, None, 12),
         )
         pipe, cam, frames = app.pipeline, app.camera, args.frames
 
@@ -137,7 +141,10 @@ def main():
             print(f"bench: render_sequence path failed: {repr(e)[:200]}",
                   file=sys.stderr)
 
-    fps = seq_fps if seq_fps is not None else loop_fps
+    # headline = the faster of the two real frame-loop APIs (measured on this
+    # platform: the per-call loop wins — the scanned body loses ~2.4x device
+    # time inside lax.scan, see docs/PERF.md round-3)
+    fps = max(loop_fps, seq_fps) if seq_fps is not None else loop_fps
     scene_name = "synthetic sphere scene" if args.smoke else "reference scene"
     result = {
         "metric": f"deferred PBR frame rate, {scene_name} @ {pipe.config.width}x{pipe.config.height}",
@@ -146,8 +153,20 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "per_call_loop_fps": round(loop_fps, 3),
     }
+    if seq_fps is not None:
+        result["sequence_dispatch_fps"] = round(seq_fps, 3)
     if fallback is not None:
         result["fallback"] = fallback
+    if not args.smoke:
+        try:  # honesty stats for the perf knobs (block_cap / env_budget)
+            np.asarray(pipe.render(cam, 1.0 / 60.0, collect_stats=True))
+            st = pipe.last_stats
+            if st is not None:
+                result["tex_approx_taps"] = int(st.tex_approx_taps)
+                result["env_approx_taps"] = int(st.env_approx_taps)
+                result["bin_overflow"] = int(st.bin_overflow)
+        except Exception:
+            pass
 
     if not args.smoke and not args.skip_secondary:
         # secondary: the north-star Sponza-CLASS density (262k-triangle
