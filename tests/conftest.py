@@ -57,6 +57,24 @@ SLOW_TESTS = {
     "test_envcache.py::test_env_tiled_matches_xla_samplers",
     "test_postprocess.py::test_bloom_shapes_and_sanity[hw1]",
     "test_postprocess.py::test_bloom_shapes_and_sanity[hw2]",
+    # round-3 re-tier (measured --durations on a 1-core host): the heaviest
+    # fast-tier tests move here; every module keeps at least one fast test
+    "test_viewer.py::test_viewer_serves_page_and_steps_camera",
+    "test_texcache.py::test_tiled_matches_raw_sampler[bilinear]",
+    "test_raster.py::test_fullscreen_triangle_covers_everything",
+    "test_pipeline.py::test_render_sequence_matches_per_frame",
+    "test_raster_pallas.py::test_fused_interp_matches_gather_path[0]",
+    "test_postprocess.py::test_bloom_fused_matches_literal",
+    "test_raster_pallas.py::test_pallas_dynamic_count_correct",
+    "test_envcache.py::test_env_stage_budget_generous_is_bit_identical",
+    "test_texcache.py::test_fused_cover_dynamic_matches_static",
+    "test_lights_pallas.py::test_tile_kernel_matches_fori[scattered]",
+    "test_pipeline.py::test_exposure_adapts_over_frames",
+    "test_raster.py::test_depth_test_less_front_wins",
+    "test_assets.py::test_scene_json_roundtrip",
+    "test_pipeline.py::test_device_cull_matches_host",
+    "test_raster_pallas.py::test_pallas_matches_xla[0]",
+    "test_envcache.py::test_env_stage_budget_truncation_degrades_to_fallback",
 }
 
 
