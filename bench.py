@@ -133,6 +133,10 @@ def main():
         try:
             cams = _yaw_path(cam, frames)
             np.asarray(pipe.render_sequence(cams))  # compile
+            # the first post-compile dispatch pays a large one-time cost on
+            # this platform (~13 s measured; docs/PERF.md round-3) — warm it
+            # through before timing steady state
+            np.asarray(pipe.render_sequence(cams)[-1])
             t0 = time.perf_counter()
             out = pipe.render_sequence(cams)
             np.asarray(out[-1])
