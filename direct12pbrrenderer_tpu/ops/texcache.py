@@ -483,6 +483,148 @@ def _fused_cover_group(pages_ref, act_ref, list_out, cnt_out, slot_out,
     cov_out[0, gi] = (pix_cov & act).astype(jnp.int32)
 
 
+def _fused_cover_kernel_batched(pages_ref, act_ref, list_out, cnt_out,
+                                slot_out, cov_out, *, block_cap, cap_max,
+                                caps, g):
+    """_fused_cover_kernel with ALL g groups batched through one wide
+    instruction stream.
+
+    The per-group kernel issues ~g x block_cap serial (blocks, 128) vector
+    ops plus 6 broadcast-transposes per group — instruction-issue-bound on
+    the VPU (~12 ms per call at 1080p shapes, measured round-3). Stacking
+    the groups along sublanes turns the same work into a handful of dense
+    (g*n0, n_pad) ops: one min-extract loop over a (g*blocks, 128) view and
+    ONE rank-matrix merge for all groups. Bit-identical outputs (the
+    per-group compares never cross group rows: each row of the rank matrix
+    compares against its OWN group's candidate lane-row)."""
+    blocks = pages_ref.shape[2]
+
+    # whole-tile gate: pure-sky tiles have zero active taps in every group —
+    # skip the dense batched body for them (its zero outputs equal the full
+    # body's result on an all-inactive tile, so this is bit-identical)
+    list_out[0] = jnp.zeros((g, 128), jnp.int32)
+    cnt_out[0] = jnp.zeros((g, 128), jnp.int32)
+    slot_out[0] = jnp.zeros((g, blocks, 128), jnp.int32)
+    cov_out[0] = jnp.zeros((g, blocks, 128), jnp.int32)
+
+    @pl.when(jnp.any(act_ref[0] != 0))
+    def _tile_body():
+        _fused_cover_batched_body(
+            pages_ref, act_ref, list_out, cnt_out, slot_out, cov_out,
+            block_cap=block_cap, cap_max=cap_max, caps=caps, g=g,
+        )
+
+
+def _fused_cover_batched_body(pages_ref, act_ref, list_out, cnt_out,
+                              slot_out, cov_out, *, block_cap, cap_max,
+                              caps, g):
+    blocks = pages_ref.shape[2]
+    n0 = blocks * block_cap
+    n_pad = -(-n0 // 128) * 128                        # per-group row stride
+    gb = g * blocks
+    rows = g * n_pad
+
+    # Mosaic supports only leading-dim reshapes (lane width must not
+    # change), so every lane<->sublane move below is either a leading-dim
+    # reshape, a sublane slice/concat, or the 128x128 broadcast-transpose
+    # trick (row_of) — never a shape cast.
+    pages = pages_ref[0].reshape(gb, 128)              # leading merge: free
+    act = act_ref[0].reshape(gb, 128) != 0
+
+    # block level, all groups at once: up to block_cap distinct per
+    # 128-px row, ascending
+    v = jnp.where(act, pages, SENTINEL)
+    slotA = jnp.full((gb, 128), block_cap, jnp.int32)
+    mins = []
+    for k in range(block_cap):
+        m = jnp.min(v, axis=1, keepdims=True)          # (gb, 1)
+        live = m != SENTINEL
+        hit = (pages == m) & live
+        slotA = jnp.where(hit, k, slotA)
+        v = jnp.where(pages == m, SENTINEL, v)
+        mins.append(m)
+
+    # candidate column, k-major within each 384-aligned group segment:
+    # group gi's rows [gi*n_pad, gi*n_pad + n0) hold its candidates at
+    # j = k*blocks + r; the tail pads with SENTINEL
+    pieces = []
+    pad = (jnp.full((n_pad - n0, 1), SENTINEL, jnp.int32)
+           if n_pad != n0 else None)
+    for gi in range(g):
+        for k in range(block_cap):
+            pieces.append(mins[k][gi * blocks:(gi + 1) * blocks])
+        if pad is not None:
+            pieces.append(pad)
+    cj_col = jnp.concatenate(pieces, axis=0)           # (rows, 1)
+
+    def lane_rows(col):
+        """(rows, 1) column -> (g, n_pad) lane rows via broadcast-transpose
+        (group segments are 128-aligned, so chunks never straddle groups)."""
+        chunks = []
+        for c in range(rows // 128):
+            blk = jnp.broadcast_to(col[c * 128:(c + 1) * 128], (128, 128))
+            chunks.append(jnp.transpose(blk)[0:1, :])
+        full = (jnp.concatenate(chunks, axis=1) if len(chunks) > 1
+                else chunks[0])                        # (1, rows)
+        per_g = [full[:, gi * n_pad:(gi + 1) * n_pad] for gi in range(g)]
+        return jnp.concatenate(per_g, axis=0) if g > 1 else per_g[0]
+
+    ck_g = lane_rows(cj_col)                           # (g, n_pad)
+    ck_b = jnp.broadcast_to(ck_g[:, None, :], (g, n_pad, n_pad)).reshape(
+        rows, n_pad
+    )
+    valid = cj_col != SENTINEL
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) % n_pad
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (rows, n_pad), 1)
+
+    # ONE dense merge for every group: dup/first/rank via row-vs-lane
+    # compares against the row's own group candidates
+    dup = ((cj_col == ck_b) & (lane_i < j_idx)).sum(
+        axis=1, keepdims=True) > 0
+    first = valid & ~dup                               # (rows, 1)
+    first_g = lane_rows(first.astype(jnp.int32))       # (g, n_pad)
+    first_b = jnp.broadcast_to(
+        first_g[:, None, :], (g, n_pad, n_pad)
+    ).reshape(rows, n_pad)
+    rank = ((ck_b < cj_col) & (first_b != 0)).sum(axis=1, keepdims=True)
+    rank = jnp.where(valid, rank, cap_max)             # (rows, 1)
+
+    # per-group cap column from scalar literals (a captured jnp constant
+    # is rejected by pallas_call)
+    g_row = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0)
+    cap_vec = jnp.zeros((g, 1), jnp.int32)
+    for gi, cap_g in enumerate(caps):
+        cap_vec = jnp.where(g_row == gi, cap_g, cap_vec)
+    cnt_g = jnp.minimum(first_g.sum(axis=1, keepdims=True), cap_vec)
+
+    # ascending distinct list per group (entries past min(cnt, cap) are 0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    sel = first & (rank == lane128)
+    list_g = jnp.where(sel, cj_col, 0).reshape(g, n_pad, 128).sum(axis=1)
+    lane_g = jax.lax.broadcasted_iota(jnp.int32, (g, 128), 1)
+    list_g = jnp.where(lane_g < cnt_g, list_g, 0)
+
+    # per-pixel slot/coverage via the block-candidate indirection
+    cap_pix = jnp.broadcast_to(cap_vec[:, None, :], (g, blocks, 1)).reshape(
+        gb, 1
+    )
+    pix_slot = jnp.zeros((gb, 128), jnp.int32)
+    pix_cov = jnp.zeros((gb, 128), bool)
+    for k in range(block_cap):
+        rank_k = jnp.concatenate(
+            [rank[gi * n_pad + k * blocks:gi * n_pad + (k + 1) * blocks]
+             for gi in range(g)], axis=0,
+        ) if g > 1 else rank[k * blocks:(k + 1) * blocks]  # (gb, 1)
+        m = slotA == k
+        pix_slot = jnp.where(m, jnp.minimum(rank_k, cap_pix - 1), pix_slot)
+        pix_cov = pix_cov | (m & (rank_k < cap_pix))
+
+    list_out[0] = list_g
+    cnt_out[0] = jnp.broadcast_to(cnt_g, (g, 128))
+    slot_out[0] = pix_slot.reshape(g, blocks, 128)
+    cov_out[0] = (pix_cov & act).astype(jnp.int32).reshape(g, blocks, 128)
+
+
 def _fused_cover_kernel_dyn(pages_ref, act_ref, list_out, cnt_out, slot_out,
                             cov_out, cand_col, cand_row, first_col, first_row,
                             rank_col, *, block_cap, cap_max, caps, g):
@@ -626,6 +768,9 @@ def _fused_cover_kernel_dyn(pages_ref, act_ref, list_out, cnt_out, slot_out,
 # its Mosaic compile + win are confirmed on hardware (the tunnel was down
 # when it landed) — flip after a TPU run shows it compiles and is faster
 FUSED_COVER_DYNAMIC = False
+# batch all g groups through one wide instruction stream (bit-identical;
+# ~3x on the instruction-issue-bound per-group kernel — docs/PERF.md round-3)
+FUSED_COVER_BATCHED = True
 
 
 def _fused_cover_pallas(pages, act, caps, block_cap, cap_max,
@@ -648,8 +793,9 @@ def _fused_cover_pallas(pages, act, caps, block_cap, cap_max,
         ]
     else:
         kernel = functools.partial(
-            _fused_cover_kernel, block_cap=block_cap, cap_max=cap_max,
-            caps=caps, g=g,
+            _fused_cover_kernel_batched if FUSED_COVER_BATCHED
+            else _fused_cover_kernel,
+            block_cap=block_cap, cap_max=cap_max, caps=caps, g=g,
         )
         scratch = []
     return pl.pallas_call(
