@@ -18,6 +18,14 @@ tunnel returns:
                            (round-3 trace): execute-only dispatch with a
                            device-resident frame pack vs the full render()
                            loop isolates the per-frame upload RPC's share
+  6. tileh               — tile_h sweep at the bench knobs (cover-merge work
+                           scales as H*tile_h*block_cap^2 but grid-step
+                           overhead scales as 1/tile_h; 24 won round 3:
+                           16 rows measured 3.68 vs 5.22 fps same-process)
+
+Interleave-rep caveat: single-pass sweeps on the remote-attached platform
+carry +-10% run-to-run drift; decisions should come from interleaved reps
+(the round-3 block_cap 10-vs-12 probe inverted on one of three reps).
 
 Usage: python -m direct12pbrrenderer_tpu.tools.tpu_checklist [--width ...]
 """
@@ -116,6 +124,20 @@ def main():
             approx = int(pipe.last_stats.tex_approx_taps)
             key = f"block_cap_{bc}"
             results[key] = {"fps": fps, "tex_approx_taps": approx}
+            print(json.dumps({"check": key, **results[key]}), flush=True)
+
+    if "tileh" in (sel or ()):  # opt-in: 3 fresh compiles
+        for th in (16, 24, 32):
+            pipe = DeferredRenderPipeline(
+                scene, cfg, tile_h=th, tile_w=128, bin_cap=2048,
+                env_budget=136, tex_caps=(92, 44, None, 12),
+            )
+            fps = round(fps_of(pipe, cam, args.frames), 3)
+            np.asarray(pipe.render(cam, collect_stats=True))
+            st = pipe.last_stats
+            key = f"tile_h_{th}"
+            results[key] = {"fps": fps,
+                            "bin_overflow": int(st.bin_overflow)}
             print(json.dumps({"check": key, **results[key]}), flush=True)
 
     if (sel is None or "envbudget" in sel) and app.pipeline.env_ids is not None:
