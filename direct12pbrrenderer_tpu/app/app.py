@@ -41,15 +41,20 @@ class AppConfig:
     camera_yaw_deg: float = 180.0
     camera_pitch_deg: float = 0.0
     orbit_deg_per_frame: float = 0.0  # scripted fly-around
-    tile_h: int = 60
-    tile_w: int = 160
-    bin_cap: int = 1024
+    # tile 24x128 / bin_cap 2048: the measured-best raster/texcache tiling on
+    # v5e @1080p (docs/PERF.md round-3 tile_h sweep + checklist) — the same
+    # configuration bench.py times, so the README command IS the bench config
+    tile_h: int = 24
+    tile_w: int = 128
+    bin_cap: int = 2048
     atlas_max_dim: int | None = 1024
     prefilter_size: int | None = None
     max_triangles: int = 65536
     max_vertices: int = 65536
-    # census-sized page budgets (tools/tap_census.py); None = worst-case
-    tex_caps: tuple | None = None
+    # census-sized page budgets (tools/tap_census.py); block_cap=12 measured
+    # +11% frame vs 16 at 0.44% of taps -> counted coarsest-mip fallback
+    # (docs/PERF.md round-3 checklist). None entries = worst-case defaults.
+    tex_caps: tuple | None = (92, 44, None, 12)
     env_budget: int | None = None
 
 
@@ -159,8 +164,8 @@ def main(argv=None):
     ap.add_argument("--camera", type=float, nargs=3, default=(0.0, 3.0, 10.0))
     ap.add_argument("--yaw", type=float, default=180.0)
     ap.add_argument("--pitch", type=float, default=0.0)
-    ap.add_argument("--bin-cap", type=int, default=1024)
-    ap.add_argument("--tile", type=int, nargs=2, default=(60, 160))
+    ap.add_argument("--bin-cap", type=int, default=2048)
+    ap.add_argument("--tile", type=int, nargs=2, default=(24, 128))
     ap.add_argument("--tex-budget", type=int, default=None,
                     help="texture-cache staging page budget "
                          "(tools/tap_census.py sizes it)")
@@ -171,6 +176,9 @@ def main(argv=None):
                          "writing frames (WASD + right-drag fly camera)")
     args = ap.parse_args(argv)
 
+    kw = {}
+    if args.tex_budget:  # keep the tuned block_cap default, add the budget
+        kw["tex_caps"] = (92, 44, args.tex_budget, 12)
     app = App(
         AppConfig(
             asset_root=args.asset_root,
@@ -186,8 +194,8 @@ def main(argv=None):
             tile_h=args.tile[0],
             tile_w=args.tile[1],
             bin_cap=args.bin_cap,
-            tex_caps=(92, 44, args.tex_budget) if args.tex_budget else None,
             env_budget=args.env_budget,
+            **kw,
         )
     )
     if args.serve:

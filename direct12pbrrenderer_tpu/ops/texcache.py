@@ -774,10 +774,12 @@ FUSED_COVER_BATCHED = True
 
 
 def _fused_cover_pallas(pages, act, caps, block_cap, cap_max,
-                        interpret=False, dynamic=None):
+                        interpret=False, dynamic=None, batched=None):
     tiles, g, blocks, _ = pages.shape
     if dynamic is None:
         dynamic = FUSED_COVER_DYNAMIC
+    if batched is None:  # mirror of `dynamic`: A/Bs need no global mutation
+        batched = FUSED_COVER_BATCHED
     n_pad = -(-(blocks * block_cap) // 128) * 128
     if dynamic:
         kernel = functools.partial(
@@ -793,8 +795,7 @@ def _fused_cover_pallas(pages, act, caps, block_cap, cap_max,
         ]
     else:
         kernel = functools.partial(
-            _fused_cover_kernel_batched if FUSED_COVER_BATCHED
-            else _fused_cover_kernel,
+            _fused_cover_kernel_batched if batched else _fused_cover_kernel,
             block_cap=block_cap, cap_max=cap_max, caps=caps, g=g,
         )
         scratch = []

@@ -55,9 +55,9 @@ class DeferredRenderPipeline:
         self,
         scene: Scene,
         config: RenderConfig | None = None,
-        tile_h: int = 60,
-        tile_w: int = 160,
-        bin_cap: int = 1024,
+        tile_h: int = 24,
+        tile_w: int = 128,
+        bin_cap: int = 2048,
         atlas_max_dim: int | None = 1024,
         prefilter_size: int | None = None,
         brdf_lut_size: int = BRDF_LUT_SIZE,
@@ -226,8 +226,15 @@ class DeferredRenderPipeline:
 
         self.graph = self._build_graph()
         self.avg_luminance = jnp.asarray(0.0, jnp.float32)
+        # Donation policy at the jit boundary: the per-call frame's big
+        # inputs are all PERSISTENT state reused next call (scene pools in
+        # self.buffers, change-tracked scene/camera packs), so only the
+        # sequence path — whose camera-pack stack and EMA carry are fresh
+        # per dispatch — has donatable arguments. In-frame transient
+        # aliasing is the graph's lifetime-driven drops (frame_graph.py),
+        # which XLA turns into buffer reuse inside the single jit.
         self._frame_jit = jax.jit(self._frame)
-        self._frame_seq_jit = jax.jit(self._frame_seq)
+        self._frame_seq_jit = jax.jit(self._frame_seq, donate_argnums=(2, 3))
         self.last_stats: FrameStats | None = None
         # upload caches: scene/camera packs are only re-uploaded on change
         self._scene_np = self._scene_dev = None

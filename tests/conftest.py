@@ -32,6 +32,15 @@ SLOW_MODULES = {
     "test_sharded_reference.py",  # 8-device reference-scene equivalence
 }
 
+# The slow tier is further split into three independently runnable subsets,
+# each < 10 min on a 1-core host (so any CI window can run one):
+#   pytest -m slow_golden   — full-pipeline golden renders (incl. hero)
+#   pytest -m slow_sharded  — 8-device sharding equivalence suites
+#   pytest -m slow_kernels  — everything else (kernel exactness, census,
+#                             budgets, scale, e2e import)
+SLOW_GOLDEN_MODULES = {"test_golden.py", "test_golden_reference.py"}
+SLOW_SHARDED_MODULES = {"test_sharded_reference.py", "test_sharded.py"}
+
 SLOW_TESTS = {
     "test_pipeline.py::test_env_budget_census_and_starvation",
     "test_texcache.py::test_stage_budget_truncation_and_exactness",
@@ -83,6 +92,12 @@ def pytest_configure(config):
         "markers", "slow: full-pipeline / large-shape tests (excluded from "
         "the <2-minute core suite; run the full suite before release)"
     )
+    config.addinivalue_line(
+        "markers", "slow_golden: slow subset — golden-image renders")
+    config.addinivalue_line(
+        "markers", "slow_sharded: slow subset — multi-device equivalence")
+    config.addinivalue_line(
+        "markers", "slow_kernels: slow subset — kernel/census/scale/e2e")
 
 
 def pytest_collection_modifyitems(config, items):
@@ -91,6 +106,12 @@ def pytest_collection_modifyitems(config, items):
         key = f"{mod}::{item.name}"
         if mod in SLOW_MODULES or key in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            if mod in SLOW_GOLDEN_MODULES:
+                item.add_marker(pytest.mark.slow_golden)
+            elif mod in SLOW_SHARDED_MODULES:
+                item.add_marker(pytest.mark.slow_sharded)
+            else:
+                item.add_marker(pytest.mark.slow_kernels)
 
 
 REFERENCE_ASSETS = pathlib.Path("/root/reference/DeferredRendering")

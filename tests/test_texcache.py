@@ -281,6 +281,42 @@ def test_fused_cover_dynamic_matches_static():
     assert not cov[:, 1].all()
 
 
+def test_fused_cover_batched_matches_per_group_fast():
+    """FAST-TIER guard on the production default (FUSED_COVER_BATCHED):
+    the group-batched one-stream kernel must be bit-identical to the
+    per-group kernel at small shapes. The exhaustive suites above are
+    slow-tier; this keeps `pytest -m "not slow"` exercising the default
+    cover kernel (ADVICE round-3 #2). Uses the explicit `batched=` parameter
+    — no global mutation."""
+    rng = np.random.default_rng(7)
+    tiles, g, blocks, block_cap = 2, 3, 16, 4
+    pages = rng.integers(0, 25, (tiles, g, blocks, 128)).astype(np.int32)
+    act = rng.random((tiles, g, blocks, 128)) > 0.3
+    act[0, 1] = False  # one empty group exercises the pl.when gates
+    caps = (16, 8, 16)
+
+    outs = {}
+    for batched in (True, False):
+        outs[batched] = texcache._fused_cover_pallas(
+            jnp.asarray(pages), jnp.asarray(act), caps, block_cap, 16,
+            interpret=True, dynamic=False, batched=batched,
+        )
+    for a, b, name in zip(outs[True], outs[False],
+                          ("list", "cnt", "slot", "cov")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    # and against the sort path (ground truth for cover semantics)
+    pl_s, cnt_s, slot_s, cov_s = texcache._cover_and_match_2level(
+        jnp.asarray(pages), jnp.asarray(act), caps, block_cap, kernel=False,
+    )
+    np.testing.assert_array_equal(np.asarray(outs[True][0])[..., :16],
+                                  np.asarray(pl_s))
+    np.testing.assert_array_equal(np.asarray(outs[True][1])[..., 0],
+                                  np.asarray(cnt_s))
+    np.testing.assert_array_equal(np.asarray(outs[True][3]) != 0,
+                                  np.asarray(cov_s))
+
+
 def test_tap_census_recommend_covers():
     """Caps sized by the census (headroom 1.0) must fully cover the same
     frame: zero approx taps at the recommended caps, and >0 approx taps one
