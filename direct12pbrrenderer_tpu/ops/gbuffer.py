@@ -255,6 +255,36 @@ def interp_from_rows(tri_id, tri_rows, width, height, y_offset=0):
     return interp, row[..., 16:32], mask
 
 
+def gbuffer_shade_fused(tri_id, depth, pl_tiles, id_tiles,
+                        atlas: AtlasDevice, height: int, width: int,
+                        tile_h: int, tile_w: int,
+                        texture_filter: str = "trilinear",
+                        tex_interpret: bool = False,
+                        tex_caps: tuple | None = None) -> GBuffer:
+    """G-buffer straight from the raster kernel's tile blocks: the plan,
+    resolve AND pixel shade run tiled (texcache.shade_planes_fused) — the
+    only (H, W)-layout materialization left in the stage is the final
+    9-channel untile. Same math, same order as gbuffer_shade_planar."""
+    from . import texcache
+
+    cap_kw = {}
+    if tex_caps is not None:
+        cap_kw = {"cap_lo": tex_caps[0], "cap_hi": tex_caps[1]}
+        if len(tex_caps) > 2 and tex_caps[2] is not None:
+            cap_kw["stage_budget"] = tex_caps[2]
+        if len(tex_caps) > 3 and tex_caps[3] is not None:
+            cap_kw["block_cap"] = tex_caps[3]
+    gb9, approx_count = texcache.shade_planes_fused(
+        atlas, pl_tiles, id_tiles, height, width, tile_h, tile_w,
+        filter=texture_filter, interpret=tex_interpret, **cap_kw,
+    )
+    mask = tri_id >= 0
+    gb_a = jnp.moveaxis(gb9[0:4], 0, -1)
+    gb_b = jnp.moveaxis(gb9[4:6], 0, -1)
+    gb_c = jnp.moveaxis(gb9[6:9], 0, -1)
+    return GBuffer(gb_a, gb_b, gb_c, depth, mask, approx_count)
+
+
 def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
                          texture_filter: str = "trilinear",
                          use_tex_kernel: bool = False,

@@ -268,7 +268,7 @@ def _kernel_interp_body(tile, count_in, yoff_ref, rows_ref, z_out, id_out,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_h", "tile_w", "interpret",
-                     "cap_small", "hot_k"),
+                     "cap_small", "hot_k", "return_tiled"),
 )
 def rasterize_interp_pallas(
     setup: raster.TriangleSetup,
@@ -282,6 +282,7 @@ def rasterize_interp_pallas(
     interpret: bool = False,
     cap_small: int | None = None,
     hot_k: int | None = None,
+    return_tiled: bool = False,
 ):
     """Fused raster + attribute interpolation (same two-pass structure as
     rasterize_pallas). Returns (tri_id (H, W), z (H, W), planes (24, H, W))
@@ -289,6 +290,11 @@ def rasterize_interp_pallas(
     perspective-interpolated [uv, normal_ws, tangent_ws], 8-23 the winning
     triangle's material row — equal to the tri_rows[tid] gather path up to
     FMA re-association (see _kernel_interp_body).
+
+    With return_tiled=True, returns (tri_id, z, pl_tiles (tiles, p, 24),
+    id_tiles (tiles, p, 1)) instead — the kernel's raw tile blocks, which
+    the fused G-buffer path (texcache.shade_planes_fused) consumes without
+    ever untiling the planes to an (H, W) layout.
 
     Mirrors gbuffer.hlsl ps_main attribute interpolation (:89-104) done by
     fixed-function hardware on the reference; here it rides the raster fold's
@@ -411,8 +417,10 @@ def rasterize_interp_pallas(
 
     z_img = untile(z_tiles)
     id_img = untile(id_tiles)
-    planes = untile(pl_tiles, 24)
     z_img = jnp.where(jnp.isinf(z_img), 1.0, z_img)
+    if return_tiled:
+        return id_img, z_img, pl_tiles, id_tiles
+    planes = untile(pl_tiles, 24)
     return id_img, z_img, planes
 
 

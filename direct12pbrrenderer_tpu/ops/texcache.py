@@ -899,6 +899,70 @@ def _cover_and_match_2level(pages, act, cap, block_cap, kernel=False,
 
 
 # --------------------------------------------------------------- kernel ----
+def _resolve_slot(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
+                  t, s, *, blocks, trilinear):
+    """Resolve one material slot's tap(s) against the staged pages: the
+    trilinear-blended (4, blocks, 128) storage-space rgba. Shared by the
+    rgba-output kernel (_kernel) and the fused resolve+shade kernel."""
+    n_halves = 2 if trilinear else 1
+    acc = None
+    for hi in range(n_halves):
+        g = hi * 5 + s
+        base = off_ref[t, g]
+        rec = rec_ref[0, g]                        # (blocks, 128)
+        seg = rec >> 7
+        lane = rec & 127
+        lane4 = jnp.broadcast_to(
+            lane[None], (SEG_CHUNK * 4, blocks, 128)
+        ).reshape(SEG_CHUNK * 4 * blocks, 128)
+
+        def chunk_body(c, quad, base=base, seg=seg, lane4=lane4):
+            rows = tbl_ref[
+                0, pl.ds(pl.multiple_of(base * 4 + c * (SEG_CHUNK * 4),
+                                        SEG_CHUNK * 4), SEG_CHUNK * 4)
+            ]                                      # (CHUNK*4, 128)
+            x = jnp.broadcast_to(
+                rows[:, None, :], (SEG_CHUNK * 4, blocks, 128)
+            ).reshape(SEG_CHUNK * 4 * blocks, 128)
+            gat = jnp.take_along_axis(x, lane4, axis=1)
+            gat = gat.reshape(SEG_CHUNK, 4, blocks, 128)
+            sel = jnp.zeros((4, blocks, 128), jnp.int32)
+            local = seg - c * SEG_CHUNK
+            for sg in range(SEG_CHUNK):
+                sel = jnp.where((local == sg)[None], gat[sg], sel)
+            hit = (local >= 0) & (local < SEG_CHUNK)
+            return jnp.where(hit[None], sel, quad)
+
+        n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
+        quad = jax.lax.fori_loop(
+            0, n_chunks, chunk_body,
+            jnp.zeros((4, blocks, 128), jnp.int32),
+        )
+        fx = fx_ref[0, g]
+        fy = fy_ref[0, g]
+        comps = []
+        for c in range(4):
+            tc = [
+                ((quad[k] >> (8 * c)) & 0xFF).astype(jnp.float32)
+                * (1.0 / 255.0)
+                for k in range(4)
+            ]
+            # same association order as gbuffer._sample_mip_bilinear
+            comps.append(
+                tc[0] * (1 - fx) * (1 - fy)
+                + tc[1] * fx * (1 - fy)
+                + tc[2] * (1 - fx) * fy
+                + tc[3] * fx * fy
+            )
+        rgba = jnp.stack(comps, 0)                 # (4, blocks, 128)
+        if not trilinear:
+            acc = rgba
+        else:
+            frac = tl_ref[0, s][None]
+            acc = rgba * (1 - frac) if hi == 0 else acc + rgba * frac
+    return acc
+
+
 def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
             out_ref, *, blocks, trilinear):
     """Per tile: resolve all (5 slots x halves) taps against staged pages.
@@ -911,64 +975,110 @@ def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
     out: (1, 5, 4, blocks, 128) f32 storage-space rgba
     """
     t = pl.program_id(0)
-    n_halves = 2 if trilinear else 1
     for s in range(5):
-        acc = None
-        for hi in range(n_halves):
-            g = hi * 5 + s
-            base = off_ref[t, g]
-            rec = rec_ref[0, g]                        # (blocks, 128)
-            seg = rec >> 7
-            lane = rec & 127
-            lane4 = jnp.broadcast_to(
-                lane[None], (SEG_CHUNK * 4, blocks, 128)
-            ).reshape(SEG_CHUNK * 4 * blocks, 128)
+        out_ref[0, s] = _resolve_slot(
+            off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
+            t, s, blocks=blocks, trilinear=trilinear,
+        )
 
-            def chunk_body(c, quad, base=base, seg=seg, lane4=lane4):
-                rows = tbl_ref[
-                    0, pl.ds(pl.multiple_of(base * 4 + c * (SEG_CHUNK * 4),
-                                            SEG_CHUNK * 4), SEG_CHUNK * 4)
-                ]                                      # (CHUNK*4, 128)
-                x = jnp.broadcast_to(
-                    rows[:, None, :], (SEG_CHUNK * 4, blocks, 128)
-                ).reshape(SEG_CHUNK * 4 * blocks, 128)
-                gat = jnp.take_along_axis(x, lane4, axis=1)
-                gat = gat.reshape(SEG_CHUNK, 4, blocks, 128)
-                sel = jnp.zeros((4, blocks, 128), jnp.int32)
-                local = seg - c * SEG_CHUNK
-                for sg in range(SEG_CHUNK):
-                    sel = jnp.where((local == sg)[None], gat[sg], sel)
-                hit = (local >= 0) & (local < SEG_CHUNK)
-                return jnp.where(hit[None], sel, quad)
 
-            n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
-            quad = jax.lax.fori_loop(
-                0, n_chunks, chunk_body,
-                jnp.zeros((4, blocks, 128), jnp.int32),
-            )
-            fx = fx_ref[0, g]
-            fy = fy_ref[0, g]
-            comps = []
-            for c in range(4):
-                tc = [
-                    ((quad[k] >> (8 * c)) & 0xFF).astype(jnp.float32)
-                    * (1.0 / 255.0)
-                    for k in range(4)
-                ]
-                # same association order as gbuffer._sample_mip_bilinear
-                comps.append(
-                    tc[0] * (1 - fx) * (1 - fy)
-                    + tc[1] * fx * (1 - fy)
-                    + tc[2] * (1 - fx) * fy
-                    + tc[3] * fx * fy
-                )
-            rgba = jnp.stack(comps, 0)                 # (4, blocks, 128)
-            if not trilinear:
-                acc = rgba
-            else:
-                frac = tl_ref[0, s][None]
-                acc = rgba * (1 - frac) if hi == 0 else acc + rgba * frac
-        out_ref[0, s] = acc
+def _resolve_shade_kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
+                          tl_ref, attr_ref, flag_ref, gb_out, *,
+                          blocks, trilinear):
+    """Resolve all texture taps AND evaluate the full G-buffer pixel shade
+    (gbuffer.hlsl ps_main :89-148) in one kernel — the round-4 fusion that
+    removes the rgba untile, the XLA shade chain, and the sRGB pass from the
+    frame (docs/PERF.md round-4).
+
+    attr: (1, 17, blocks, 128) f32 — planes channels 2..18 of the raster
+          kernel's output: [nrm(3), tan(3), mat_albedo(3), emission,
+          roughness, metallic, use(5)]
+    flag: (1, 6, blocks, 128) i32 — [srgb per slot (5), coverage mask]
+    gb_out: (1, 9, blocks, 128) f32 — [albedo(3), emission, oct(2),
+            roughness, metallic, ao], RGBA8-quantized and mask-zeroed —
+            exactly gbuffer._shade_from_interp's GBufferA/B/C channels.
+    """
+    t = pl.program_id(0)
+
+    def eotf(c):
+        # common.srgb_eotf, channel-at-a-time
+        c = jnp.clip(c, 0.0, 1.0)
+        return jnp.where(c <= 0.04045, c / 12.92,
+                         jnp.power((c + 0.055) / 1.055, 2.4))
+
+    def gamma(c):
+        return jnp.power(jnp.maximum(c, 0.0), 2.2)
+
+    samples = []
+    for s in range(5):
+        rgba = _resolve_slot(
+            off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
+            t, s, blocks=blocks, trilinear=trilinear,
+        )                                          # (4, blocks, 128)
+        srgb_s = flag_ref[0, s] != 0
+        rgb = [jnp.where(srgb_s, eotf(rgba[c]), rgba[c]) for c in range(3)]
+        samples.append(rgb + [rgba[3]])
+
+    mask = flag_ref[0, 5] != 0
+
+    def norm3(x, y, z):
+        n = jnp.sqrt((x * x + y * y) + z * z)
+        inv = 1.0 / jnp.maximum(n, 1e-20)
+        return x * inv, y * inv, z * inv
+
+    a = attr_ref[0]                                # (17, blocks, 128)
+    nx, ny, nz = norm3(a[0], a[1], a[2])
+    tx, ty, tz = norm3(a[3], a[4], a[5])
+
+    albedo_tex = samples[0][:3]
+    normal_tex = samples[1][:3]
+    metallic_tex = samples[2][0]
+    roughness_tex = samples[3][0]
+    ao_tex = samples[4][0]
+
+    use = [a[12 + i] > 0.5 for i in range(5)]
+
+    # normal mapping: TBN with bitangent = cross(N, T) (gbuffer.hlsl:63-69)
+    bx = ny * tz - nz * ty
+    by = nz * tx - nx * tz
+    bz = nx * ty - ny * tx
+    sx_, sy_, sz_ = (normal_tex[0] * 2.0 - 1.0, normal_tex[1] * 2.0 - 1.0,
+                     normal_tex[2] * 2.0 - 1.0)
+    mx = tx * sx_ + bx * sy_ + nx * sz_
+    my = ty * sx_ + by * sy_ + ny * sz_
+    mz = tz * sx_ + bz * sy_ + nz * sz_
+    mx, my, mz = norm3(mx, my, mz)
+    wx = jnp.where(use[1], mx, nx)
+    wy = jnp.where(use[1], my, ny)
+    wz = jnp.where(use[1], mz, nz)
+
+    albedo = [jnp.where(use[0], gamma(albedo_tex[c]), gamma(a[6 + c]))
+              for c in range(3)]
+    roughness = jnp.where(use[3], roughness_tex, a[10])
+    metallic = jnp.where(use[2], metallic_tex, a[11])
+    # AO defaults to 0 when unmapped (gbuffer.hlsl:135-138) — reference quirk
+    ao = jnp.where(use[4], ao_tex, 0.0)
+    emission = a[9]
+
+    # common.encode_octahedron, channel form
+    ssum = jnp.abs(wx) + jnp.abs(wy) + jnp.abs(wz)
+    dx, dy, dz = wx / ssum, wy / ssum, wz / ssum
+
+    def nz_sign(x):
+        return jnp.where(x < 0, -1.0, 1.0)
+
+    fx0 = nz_sign(dx) * (1.0 - jnp.abs(dy))
+    fy0 = nz_sign(dy) * (1.0 - jnp.abs(dx))
+    ox = jnp.where(dz < 0, fx0, dx) * 0.5 + 0.5
+    oy = jnp.where(dz < 0, fy0, dy) * 0.5 + 0.5
+
+    def q8(x):
+        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * (1.0 / 255.0)
+
+    chans = [albedo[0], albedo[1], albedo[2], emission, ox, oy,
+             roughness, metallic, ao]
+    out = jnp.stack([jnp.where(mask, q8(c), 0.0) for c in chans], 0)
+    gb_out[0] = out
 
 
 # ----------------------------------------------------------------- api -----
@@ -1008,48 +1118,105 @@ def sample_atlas_tiled(
     p = tile_h * tile_w
     blocks = -(-p // 128)
     blocks += (-blocks) % 8
-    n_tiles = (height // tile_h) * (width // tile_w)
-    # group caps must be SEG_CHUNK-aligned so chunked sweeps stay in-bounds
-    assert (cap_lo + CAP_FB) % SEG_CHUNK == 0
-    assert (cap_hi + CAP_FB) % SEG_CHUNK == 0
 
     u5 = jnp.broadcast_to(u[..., None], tex.shape)
     v5 = jnp.broadcast_to(v[..., None], tex.shape)
-    base_w, base_h, pb, fb_page0, mips, tfrac = _mip_plan(
-        atlas, tex, lod, trilinear
-    )
 
     def tile_g(x):  # (H, W, 5) -> (tiles, 5, blocks, 128)
         return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
 
-    act_t = tile_g(active)
+    (off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t,
+     covered_t) = _plan_and_stage(
+        atlas, tile_g(tex), tile_g(u5), tile_g(v5), tile_g(lod),
+        tile_g(active), trilinear=trilinear, cap_lo=cap_lo, cap_hi=cap_hi,
+        block_cap=block_cap, stage_budget=stage_budget, interpret=interpret,
+    )
+
+    g = rec_t.shape[1]
+    B = staged.shape[1] // 4
+    n_tiles = rec_t.shape[0]
+    kernel = functools.partial(
+        _kernel, blocks=blocks, trilinear=trilinear,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, B * 4, 128), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 5, 4, blocks, 128), lambda t, *_: (t, 0, 0, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, 5, 4, blocks, 128), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t)
+
+    rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
+                        (2, 3))                        # (H, W, 5, 4)
+    covered = jnp.moveaxis(
+        _untile(covered_t, height, width, tile_h, tile_w), 0, -1
+    )
+    # approx also counts fb-budget overflows (see docstring)
+    return rgba, covered, active & ~covered
+
+
+def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
+                    cap_lo, cap_hi, block_cap, stage_budget, interpret):
+    """The texture cache's per-frame PLAN in tiled layout: mip selection,
+    tap addressing, page covers, and the compact staged-page block.
+
+    All per-pixel inputs are (tiles, 5, blocks, 128) — either `_tile`d from
+    (H, W, 5) images (sample_atlas_tiled) or reshaped for free from the
+    raster kernel's (tiles, p, 24) plane blocks (the fused G-buffer path,
+    which never materializes an (H, W) layout between raster and shade).
+
+    Returns (off_arr, cnts (tiles, G) staging offsets/counts for scalar
+    prefetch, staged (tiles, B*4, 128) i32 page block, rec/fx/fy
+    (tiles, G, blocks, 128) tap records, tl (tiles, 5, blocks, 128)
+    trilinear fracs, covered (tiles, 5, blocks, 128) bool)."""
+    n_tiles, _, blocks, _ = tex_t.shape
+    # group caps must be SEG_CHUNK-aligned so chunked sweeps stay in-bounds
+    assert (cap_lo + CAP_FB) % SEG_CHUNK == 0
+    assert (cap_hi + CAP_FB) % SEG_CHUNK == 0
+
+    base_w, base_h, pb, fb_page0, mips, tfrac_t = _mip_plan(
+        atlas, tex_t, lod_t, trilinear
+    )
 
     # guaranteed fallback tap: the coarsest mip (1x1 — the texture's average
     # color). Addressing at w == h == 1 needs no further table data.
-    fb_page = fb_page0
-    fb_fx = (u5 - 0.5) - jnp.floor(u5 - 0.5)
-    fb_fy = (v5 - 0.5) - jnp.floor(v5 - 0.5)
-    fb_list, _, fb_slot, fb_found = _cover_and_match(
-        tile_g(fb_page), act_t, CAP_FB, block_cap=CAP_FB,
+    fb_fx_t = (u_t - 0.5) - jnp.floor(u_t - 0.5)
+    fb_fy_t = (v_t - 0.5) - jnp.floor(v_t - 0.5)
+    fb_list, _, fb_slot_t, fb_found = _cover_and_match(
+        fb_page0, act_t, CAP_FB, block_cap=CAP_FB,
         kernel=True, interpret=interpret,
     )
-    fb_slot_t, fb_fx_t, fb_fy_t = fb_slot, tile_g(fb_fx), tile_g(fb_fy)
 
     # per-group page table layout: [fallback pages (CAP_FB) | cover (cap)],
     # so the chunked sweep bound is simply CAP_FB + count
     halves = []
     for m, cap in zip(mips, (cap_lo, cap_hi)):
         page, intra, fx, fy = _tap_addresses(
-            base_w, base_h, select_mip(pb, m), m, u5, v5
+            base_w, base_h, select_mip(pb, m), m, u_t, v_t
         )
         page_list, count, slot, found = _cover_and_match(
-            tile_g(page), act_t, cap, block_cap=block_cap,
+            page, act_t, cap, block_cap=block_cap,
             kernel=True, interpret=interpret,
         )
-        halves.append(
-            (page_list, count, slot, tile_g(intra), tile_g(fx), tile_g(fy),
-             found)
-        )
+        halves.append((page_list, count, slot, intra, fx, fy, found))
 
     # a tap is exact only if EVERY mip half made its cover (and fits the
     # staged budget, below); otherwise the WHOLE tap resolves via the
@@ -1139,10 +1306,114 @@ def sample_atlas_tiled(
         staged.reshape(n_tiles, B * 4, 128), jnp.int32
     )
 
+    return off_arr, cnts, staged, rec_t, fx_t, fy_t, tfrac_t, covered_t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "tile_h", "tile_w", "filter",
+                     "cap_lo", "cap_hi", "block_cap", "interpret",
+                     "stage_budget"),
+)
+def shade_planes_fused(
+    atlas: gbuffer.AtlasDevice,
+    pl_tiles,       # (tiles, p, 24) raster-kernel plane blocks (pre-untile)
+    id_tiles,       # (tiles, p, 1) winning triangle ids (-1 = background)
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    filter: str = "trilinear",
+    cap_lo: int = 92,
+    cap_hi: int = 44,
+    block_cap: int | None = 16,
+    interpret: bool = False,
+    stage_budget: int | None = None,
+):
+    """The fused G-buffer back half: raster plane blocks -> final quantized
+    G-buffer planes, never materializing an (H, W) layout in between.
+
+    Replaces gbuffer_shade_planar's chain [untile planes -> XLA tap
+    math/LOD -> re-tile for the cache -> resolve kernel -> untile rgba ->
+    XLA shade] with [free reshapes + ONE channel transpose -> plan (tiled)
+    -> resolve+shade kernel -> ONE 9-channel untile]. Tap addressing, cover
+    semantics, and shade math are the same formulas in the same order as
+    the planar path (tests pin equivalence), so covered taps remain
+    bit-equal to the XLA sampler.
+
+    Returns (gb9 (9, H, W) f32 [albedo(3), emission, oct(2), roughness,
+    metallic, ao], approx_count () int32)."""
+    trilinear = filter != "bilinear"
+    n_tiles, p, _ = pl_tiles.shape
+    blocks0 = p // 128
+    wb = tile_w // 128  # lane-blocks per screen row of the tile
+    assert p % 128 == 0 and tile_w % 128 == 0 and tile_h % 2 == 0, (
+        tile_h, tile_w)
+    blocks = blocks0 + (-blocks0) % 8
+
+    # (tiles, p, 24) -> (tiles, 24, blocks, 128): one real transpose; the
+    # reshape is free (p is row-major y*tile_w + x, tile_w a multiple of 128,
+    # so 128 consecutive pixels ARE a lane row)
+    planes_t = pl_tiles.reshape(n_tiles, blocks0, 128, 24).transpose(
+        0, 3, 1, 2
+    )
+    mask_t = id_tiles.reshape(n_tiles, 1, blocks0, 128) >= 0
+
+    uv_t = jnp.where(mask_t, planes_t[:, 0:2], 0.0)    # (tiles, 2, b0, 128)
+    use_t = planes_t[:, 14:19] > 0.5
+    tex_t = jnp.maximum(planes_t[:, 19:24].astype(jnp.int32), 0)
+    act_t = use_t & mask_t
+
+    # quad-derivative LOD (gbuffer.tap_lod), computed in tiled layout: tile
+    # origins are even in both axes, so 2x2 quads never straddle tiles and
+    # the pairs match the full-frame _quad_derivatives exactly
+    ddx = uv_t.reshape(n_tiles, 2, blocks0 * 64, 2)
+    ddx = jnp.broadcast_to(
+        (ddx[..., 1:2] - ddx[..., 0:1]), ddx.shape
+    ).reshape(uv_t.shape)
+    # y-pairs are screen rows 2k/2k+1 = blocks b and b+wb in the row-major
+    # (tile_h, wb) block grid
+    ddy = uv_t.reshape(n_tiles, 2, tile_h // 2, 2, wb * 128)
+    ddy = jnp.broadcast_to(
+        (ddy[..., 1:2, :] - ddy[..., 0:1, :]), ddy.shape
+    ).reshape(uv_t.shape)
+    size5 = onehot_lookup(atlas.base_size.astype(jnp.float32), tex_t)
+    gx_u = ddx[:, 0][:, None] * size5[..., 0]
+    gx_v = ddx[:, 1][:, None] * size5[..., 1]
+    gy_u = ddy[:, 0][:, None] * size5[..., 0]
+    gy_v = ddy[:, 1][:, None] * size5[..., 1]
+    rx2 = gx_u * gx_u + gx_v * gx_v
+    ry2 = gy_u * gy_u + gy_v * gy_v
+    rho2 = jnp.maximum(rx2, ry2)                       # (tiles, 5, b0, 128)
+    lod_t = 0.5 * jnp.log2(jnp.maximum(rho2, 1e-12))
+    lod_t = jnp.where(mask_t, lod_t, 99.0)
+
+    def pad_b(x, fill=0):
+        if blocks == blocks0:
+            return x
+        cfg = [(0, 0)] * (x.ndim - 2) + [(0, blocks - blocks0), (0, 0)]
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    u5_t = jnp.broadcast_to(uv_t[:, 0][:, None], tex_t.shape)
+    v5_t = jnp.broadcast_to(uv_t[:, 1][:, None], tex_t.shape)
+    (off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t,
+     covered_t) = _plan_and_stage(
+        atlas, pad_b(tex_t), pad_b(u5_t), pad_b(v5_t), pad_b(lod_t),
+        pad_b(act_t), trilinear=trilinear, cap_lo=cap_lo, cap_hi=cap_hi,
+        block_cap=block_cap, stage_budget=stage_budget, interpret=interpret,
+    )
+
+    srgb5 = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex_t)
+    flags = jnp.concatenate(
+        [(srgb5[..., 0] > 0.5).astype(jnp.int32),
+         mask_t.astype(jnp.int32)], axis=1,
+    )                                                  # (tiles, 6, b0, 128)
+    attrs = planes_t[:, 2:19]                          # (tiles, 17, b0, 128)
+
     g = rec_t.shape[1]
-    tl_t = tile_g(tfrac)
+    B = staged.shape[1] // 4
     kernel = functools.partial(
-        _kernel, blocks=blocks, trilinear=trilinear,
+        _resolve_shade_kernel, blocks=blocks, trilinear=trilinear,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1153,30 +1424,31 @@ def sample_atlas_tiled(
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
             pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 17, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+            pl.BlockSpec((1, 6, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 5, 4, blocks, 128), lambda t, *_: (t, 0, 0, 0, 0)
+            (1, 9, blocks, 128), lambda t, *_: (t, 0, 0, 0)
         ),
     )
-    out = pl.pallas_call(
+    gb_tiles = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, 5, 4, blocks, 128), jnp.float32
+            (n_tiles, 9, blocks, 128), jnp.float32
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t)
+    )(off_arr, cnts, staged, pad_b(rec_t), pad_b(fx_t), pad_b(fy_t),
+      pad_b(tl_t), pad_b(attrs), pad_b(flags))
 
-    rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
-                        (2, 3))                        # (H, W, 5, 4)
-    covered = jnp.moveaxis(
-        _untile(covered_t, height, width, tile_h, tile_w), 0, -1
-    )
-    # approx also counts fb-budget overflows (see docstring)
-    return rgba, covered, active & ~covered
+    gb9 = _untile(gb_tiles, height, width, tile_h, tile_w)  # (9, H, W)
+    approx_count = (
+        pad_b(act_t) & ~covered_t
+    ).sum(dtype=jnp.int32)
+    return gb9, approx_count
 
 
 def sample_atlas_textured(

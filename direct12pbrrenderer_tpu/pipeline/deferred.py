@@ -114,6 +114,16 @@ class DeferredRenderPipeline:
             use_tex_kernel
             and _texcache.pick_tile(self.render_h, self.render_w) is not None
         )
+        # Fused G-buffer (round-4): plan + resolve + pixel shade run on the
+        # raster kernel's tile blocks with no (H, W) materialization in
+        # between. Requires the raster tile to BE the cache tile (lane-major
+        # 128-px rows, even height for quad pairs); anisotropic filtering
+        # stays on the planar path (it needs the multi-tap XLA sampler).
+        self.use_fused_gbuffer = (
+            self.use_pallas and self.use_tex_kernel
+            and tile_w % 128 == 0 and tile_h % 2 == 0
+            and texture_filter in ("trilinear", "bilinear")
+        )
         self.pallas_interpret = pallas_interpret
         self.scene = scene
         self.packed: PackedScene = pack_scene(scene, cfg, atlas_max_dim)
@@ -234,7 +244,10 @@ class DeferredRenderPipeline:
         # aliasing is the graph's lifetime-driven drops (frame_graph.py),
         # which XLA turns into buffer reuse inside the single jit.
         self._frame_jit = jax.jit(self._frame)
-        self._frame_seq_jit = jax.jit(self._frame_seq, donate_argnums=(2, 3))
+        # donate only the EMA carry: it aliases the returned avg (same
+        # shape/dtype); the camera-pack stack has no matching output, so
+        # donating it would just emit XLA's unused-donation warning
+        self._frame_seq_jit = jax.jit(self._frame_seq, donate_argnums=(3,))
         self.last_stats: FrameStats | None = None
         # upload caches: scene/camera packs are only re-uploaded on change
         self._scene_np = self._scene_dev = None
@@ -290,6 +303,29 @@ class DeferredRenderPipeline:
             bins = stages.binning(
                 setup, rw, rh, self.tile_h, self.tile_w, self.bin_cap
             )
+            if self.use_fused_gbuffer:
+                # round-4 fused path: raster tile blocks feed the plan +
+                # resolve + shade directly (texcache.shade_planes_fused) —
+                # the stage's only (H, W) materializations are tri_id/depth
+                # and the final 9-channel G-buffer untile
+                tri_id, depth, pl_tiles, id_tiles = stages.rasterize_interp(
+                    setup, bins, env, vattrs, rw, rh, self.tile_h, self.tile_w,
+                    pallas_interpret=self.pallas_interpret, return_tiled=True,
+                )
+                gb = gbuffer.gbuffer_shade_fused(
+                    tri_id, depth, pl_tiles, id_tiles, env["atlas"],
+                    rh, rw, self.tile_h, self.tile_w, self.texture_filter,
+                    tex_interpret=self.pallas_interpret,
+                    tex_caps=self.tex_caps,
+                )
+                return {
+                    "GBufferA": gb.albedo_emission,
+                    "GBufferB": gb.normal_oct,
+                    "GBufferC": gb.rough_metal_ao,
+                    "GBufferDepthStencil": (gb.depth, gb.mask),
+                    "BinCounts": bins.counts,
+                    "TexApproxCount": gb.tex_approx,
+                }
             if self.use_pallas:
                 # fused raster + attribute interpolation: the winning row is
                 # selected inside the depth fold (VMEM), removing the

@@ -89,16 +89,21 @@ def pack_rows64(setup, buffers, vattrs):
 
 def rasterize_interp(setup, bins, buffers, vattrs, width: int, band_h: int,
                      tile_h: int, tile_w: int, y_offset=0,
-                     pallas_interpret: bool = False):
+                     pallas_interpret: bool = False,
+                     return_tiled: bool = False):
     """Fused raster + attribute interpolation (Pallas path): returns
     (tri_id, depth, planes (24, band_h, width)) with planes matching the
     tri_rows[tid]-gather path (exact material columns, interp to FMA
     re-association) — the winning row rides the depth fold's VMEM state
-    instead of a per-pixel 256 B HBM gather (docs/PERF.md round-3)."""
+    instead of a per-pixel 256 B HBM gather (docs/PERF.md round-3).
+
+    return_tiled=True yields (tri_id, depth, pl_tiles, id_tiles) raw tile
+    blocks for the fused G-buffer path (gbuffer.gbuffer_shade_fused)."""
     rows64 = pack_rows64(setup, buffers, vattrs)
     return raster_pallas.rasterize_interp_pallas(
         setup, bins, rows64, width, band_h, tile_h, tile_w,
         y_offset=y_offset, interpret=pallas_interpret,
+        return_tiled=return_tiled,
     )
 
 

@@ -52,6 +52,7 @@ SLOW_TESTS = {
     "test_sharded.py::test_sharded_with_cache_kernels_matches_single_chip",
     "test_sharded.py::test_sharded_matches_single_chip",
     "test_pipeline.py::test_kernel_paths_match_xla_paths",
+    "test_pipeline.py::test_fused_gbuffer_matches_planar_pipeline",
     "test_pipeline.py::test_tex_approx_stat_surfaced",
     "test_pipeline.py::test_renders_lit_sphere",
     "test_texcache.py::test_textured_covered_exact_overflow_approximated",

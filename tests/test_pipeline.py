@@ -190,6 +190,32 @@ def test_kernel_paths_match_xla_paths(camera):
     assert rmse < 1.5e-3, rmse
 
 
+def test_fused_gbuffer_matches_planar_pipeline(camera):
+    """The round-4 fused G-buffer path (raster tile blocks -> plan ->
+    resolve+shade kernel) must reproduce the planar kernel path at the
+    full-pipeline level (interpret mode)."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    mk = lambda: DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=24, tile_w=128, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+        use_pallas=True, use_tex_kernel=True, pallas_interpret=True,
+    )
+    fused = mk()
+    assert fused.use_fused_gbuffer
+    planar = mk()
+    planar.use_fused_gbuffer = False
+    planar.graph = planar._build_graph()
+    import jax
+
+    planar._frame_jit = jax.jit(planar._frame)
+    a = np.asarray(fused.render(camera)).astype(np.float32)
+    b = np.asarray(planar.render(camera)).astype(np.float32)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2))) / 255.0
+    assert rmse < 1e-4, rmse
+    assert fused.last_stats.tex_approx_taps == planar.last_stats.tex_approx_taps
+
+
 def test_tex_approx_stat_surfaced(camera):
     """The cache kernel's fallback counter reaches FrameStats (honesty
     contract: silent degradation is not allowed)."""

@@ -317,6 +317,72 @@ def test_fused_cover_batched_matches_per_group_fast():
                                   np.asarray(cov_s))
 
 
+def test_shade_planes_fused_matches_planar():
+    """The round-4 fused G-buffer back half (plan + resolve + pixel shade on
+    raster tile blocks, texcache.shade_planes_fused) must reproduce the
+    planar path (gbuffer_shade_planar with the cache kernel) — same taps,
+    same shade math, same RGBA8 quantization."""
+    rng = np.random.default_rng(23)
+    h, w, th, tw = 48, 256, 24, 128
+    atlas = _build_atlas(rng, [(32, 16, True), (16, 16, False), (8, 8, False)])
+
+    # synthetic raster planes: smooth uv ramps (realistic page coherence),
+    # random unit-ish normals/tangents, random material rows
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    uv = np.stack([xx / w * 1.5 - 0.2 + rng.random((h, w)) * 0.01,
+                   yy / h * 1.2 + rng.random((h, w)) * 0.01], 0)
+    nrm = rng.normal(size=(3, h, w)).astype(np.float32)
+    tan = rng.normal(size=(3, h, w)).astype(np.float32)
+    mat = np.zeros((16, h, w), np.float32)
+    mat[0:3] = rng.random((3, h, w))          # albedo
+    mat[3] = rng.random((h, w))               # emission
+    mat[4] = rng.random((h, w))               # roughness
+    mat[5] = rng.random((h, w))               # metallic
+    mat[6:11] = (rng.random((5, h, w)) > 0.4).astype(np.float32)  # use
+    mat[11:16] = rng.integers(0, 3, (5, h, w)).astype(np.float32)  # tex ids
+    planes = jnp.asarray(
+        np.concatenate([uv, nrm, tan, mat], 0).astype(np.float32)
+    )                                          # (24, h, w)
+    tri_id = jnp.asarray(
+        np.where(rng.random((h, w)) > 0.15, 1, -1).astype(np.int32)
+    )
+    depth = jnp.asarray(rng.random((h, w), np.float32))
+
+    ref = gbuffer.gbuffer_shade_planar(
+        tri_id, depth, planes, atlas, "trilinear",
+        use_tex_kernel=True, tex_interpret=True,
+    )
+
+    # raster-kernel tile-block layout of the same planes/ids
+    ty, tx = h // th, w // tw
+    p = th * tw
+    pl_tiles = jnp.asarray(
+        np.asarray(planes).reshape(24, ty, th, tx, tw)
+        .transpose(1, 3, 2, 4, 0).reshape(ty * tx, p, 24)
+    )
+    id_tiles = jnp.asarray(
+        np.asarray(tri_id).reshape(ty, th, tx, tw)
+        .transpose(0, 2, 1, 3).reshape(ty * tx, p, 1)
+    )
+    got = gbuffer.gbuffer_shade_fused(
+        tri_id, depth, pl_tiles, id_tiles, atlas, h, w, th, tw,
+        "trilinear", tex_interpret=True,
+    )
+
+    for a, b, name in (
+        (ref.albedo_emission, got.albedo_emission, "A"),
+        (ref.normal_oct, got.normal_oct, "B"),
+        (ref.rough_metal_ao, got.rough_metal_ao, "C"),
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # both are RGBA8-quantized; channel-form math may flip a rounding
+        # knife-edge by 1 LSB on a handful of pixels
+        assert np.abs(a - b).max() <= 1.01 / 255.0, name
+        assert (np.abs(a - b) > 1e-6).mean() < 2e-3, name
+    np.testing.assert_array_equal(np.asarray(ref.mask), np.asarray(got.mask))
+    assert int(got.tex_approx) == int(ref.tex_approx)
+
+
 def test_tap_census_recommend_covers():
     """Caps sized by the census (headroom 1.0) must fully cover the same
     frame: zero approx taps at the recommended caps, and >0 approx taps one
