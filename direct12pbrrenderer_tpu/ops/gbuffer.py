@@ -211,7 +211,7 @@ def _quantize8(x):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "texture_filter", "use_tex_kernel",
-                     "tex_interpret", "tex_caps"),
+                     "tex_interpret", "tex_caps", "tex_cascade"),
 )
 def gbuffer_shade(
     tri_id,       # (H, W) int32 from rasterize
@@ -225,12 +225,13 @@ def gbuffer_shade(
     use_tex_kernel: bool = False,
     tex_interpret: bool = False,
     tex_caps: tuple[int, int] | None = None,
+    tex_cascade: bool = False,
 ) -> GBuffer:
     interp, matrow, mask = interp_from_rows(tri_id, tri_rows, width, height,
                                             y_offset)
     return _shade_from_interp(interp, matrow, mask, depth, atlas,
                               texture_filter, use_tex_kernel, tex_interpret,
-                              tex_caps)
+                              tex_caps, tex_cascade)
 
 
 def interp_from_rows(tri_id, tri_rows, width, height, y_offset=0):
@@ -260,7 +261,8 @@ def gbuffer_shade_fused(tri_id, depth, pl_tiles, id_tiles,
                         tile_h: int, tile_w: int,
                         texture_filter: str = "trilinear",
                         tex_interpret: bool = False,
-                        tex_caps: tuple | None = None) -> GBuffer:
+                        tex_caps: tuple | None = None,
+                        tex_cascade: bool = False) -> GBuffer:
     """G-buffer straight from the raster kernel's tile blocks: the plan,
     resolve AND pixel shade run tiled (texcache.shade_planes_fused) — the
     only (H, W)-layout materialization left in the stage is the final
@@ -276,7 +278,8 @@ def gbuffer_shade_fused(tri_id, depth, pl_tiles, id_tiles,
             cap_kw["block_cap"] = tex_caps[3]
     gb9, approx_count = texcache.shade_planes_fused(
         atlas, pl_tiles, id_tiles, height, width, tile_h, tile_w,
-        filter=texture_filter, interpret=tex_interpret, **cap_kw,
+        filter=texture_filter, interpret=tex_interpret,
+        cascade=tex_cascade, **cap_kw,
     )
     mask = tri_id >= 0
     gb_a = jnp.moveaxis(gb9[0:4], 0, -1)
@@ -289,7 +292,8 @@ def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
                          texture_filter: str = "trilinear",
                          use_tex_kernel: bool = False,
                          tex_interpret: bool = False,
-                         tex_caps: tuple[int, int] | None = None) -> GBuffer:
+                         tex_caps: tuple[int, int] | None = None,
+                         tex_cascade: bool = False) -> GBuffer:
     """G-buffer from the Pallas interpolation kernel's (24, H, W) planes —
     zero per-pixel attribute gathers (only the texture-atlas taps remain)."""
     mask = tri_id >= 0
@@ -297,7 +301,7 @@ def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,
     matrow = jnp.moveaxis(planes[8:24], 0, -1)  # (H, W, 16)
     return _shade_from_interp(interp, matrow, mask, depth, atlas,
                               texture_filter, use_tex_kernel, tex_interpret,
-                              tex_caps)
+                              tex_caps, tex_cascade)
 
 
 def tap_lod(uv, tex, mask, atlas: AtlasDevice, use_tex_kernel=True):
@@ -341,7 +345,8 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
                        texture_filter: str = "trilinear",
                        use_tex_kernel: bool = False,
                        tex_interpret: bool = False,
-                       tex_caps: tuple[int, int] | None = None) -> GBuffer:
+                       tex_caps: tuple[int, int] | None = None,
+                       tex_cascade: bool = False) -> GBuffer:
     # background pixels otherwise carry garbage interpolants -> random fetch
     # addresses; pinning them to one coarse texel keeps those fetches (up to
     # half the frame is sky) on a single hot line
@@ -385,7 +390,8 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
         samples, approx = texcache.sample_atlas_textured(
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],
-            filter=texture_filter, interpret=tex_interpret, **cap_kw,
+            filter=texture_filter, interpret=tex_interpret,
+            cascade=tex_cascade, **cap_kw,
         )  # (H, W, 5, 4)
         approx_count = approx.sum().astype(jnp.int32)
     else:

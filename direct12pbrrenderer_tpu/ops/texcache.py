@@ -166,7 +166,7 @@ def _tap_addresses(base_w, base_h, page_base, mip, u, v):
 def _mip_plan(atlas, tex, lod, trilinear):
     """Per-pixel texture-table lookup + mip selection shared by the sampling
     kernel and the tap census: (base_w, base_h, page-base rows, fallback page,
-    [mip_lo(, mip_hi)], trilinear frac)."""
+    [mip_lo(, mip_hi)], trilinear frac, n_mips)."""
     table = fused_tex_table(atlas)
     row0 = onehot_lookup(table, tex)            # (H, W, 5, 4+MAX_MIPS)
     n_mips_t = row0[..., 0].astype(jnp.int32)
@@ -183,7 +183,7 @@ def _mip_plan(atlas, tex, lod, trilinear):
         m_lo = jnp.round(lod).astype(jnp.int32)
         tfrac = jnp.zeros_like(lod)
         mips = [m_lo]
-    return base_w, base_h, pb, fb_page, mips, tfrac
+    return base_w, base_h, pb, fb_page, mips, tfrac, n_mips_t
 
 
 def _cover_and_match(pages, act, cap, block_cap: int | None = None,
@@ -899,6 +899,59 @@ def _cover_and_match_2level(pages, act, cap, block_cap, kernel=False,
 
 
 # --------------------------------------------------------------- kernel ----
+def _resolve_group(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
+                   t, g, *, blocks):
+    """Resolve one (group)'s bilinear tap against its staged-page span:
+    (4, blocks, 128) storage-space rgba."""
+    base = off_ref[t, g]
+    rec = rec_ref[0, g]                        # (blocks, 128)
+    seg = rec >> 7
+    lane = rec & 127
+    lane4 = jnp.broadcast_to(
+        lane[None], (SEG_CHUNK * 4, blocks, 128)
+    ).reshape(SEG_CHUNK * 4 * blocks, 128)
+
+    def chunk_body(c, quad, base=base, seg=seg, lane4=lane4):
+        rows = tbl_ref[
+            0, pl.ds(pl.multiple_of(base * 4 + c * (SEG_CHUNK * 4),
+                                    SEG_CHUNK * 4), SEG_CHUNK * 4)
+        ]                                      # (CHUNK*4, 128)
+        x = jnp.broadcast_to(
+            rows[:, None, :], (SEG_CHUNK * 4, blocks, 128)
+        ).reshape(SEG_CHUNK * 4 * blocks, 128)
+        gat = jnp.take_along_axis(x, lane4, axis=1)
+        gat = gat.reshape(SEG_CHUNK, 4, blocks, 128)
+        sel = jnp.zeros((4, blocks, 128), jnp.int32)
+        local = seg - c * SEG_CHUNK
+        for sg in range(SEG_CHUNK):
+            sel = jnp.where((local == sg)[None], gat[sg], sel)
+        hit = (local >= 0) & (local < SEG_CHUNK)
+        return jnp.where(hit[None], sel, quad)
+
+    n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
+    quad = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((4, blocks, 128), jnp.int32),
+    )
+    fx = fx_ref[0, g]
+    fy = fy_ref[0, g]
+    comps = []
+    for c in range(4):
+        tc = [
+            ((quad[k] >> (8 * c)) & 0xFF).astype(jnp.float32)
+            * (1.0 / 255.0)
+            for k in range(4)
+        ]
+        # same association order as gbuffer._sample_mip_bilinear
+        comps.append(
+            tc[0] * (1 - fx) * (1 - fy)
+            + tc[1] * fx * (1 - fy)
+            + tc[2] * (1 - fx) * fy
+            + tc[3] * fx * fy
+        )
+    return jnp.stack(comps, 0)                 # (4, blocks, 128)
+
+
 def _resolve_slot(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
                   t, s, *, blocks, trilinear):
     """Resolve one material slot's tap(s) against the staged pages: the
@@ -907,54 +960,8 @@ def _resolve_slot(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
     n_halves = 2 if trilinear else 1
     acc = None
     for hi in range(n_halves):
-        g = hi * 5 + s
-        base = off_ref[t, g]
-        rec = rec_ref[0, g]                        # (blocks, 128)
-        seg = rec >> 7
-        lane = rec & 127
-        lane4 = jnp.broadcast_to(
-            lane[None], (SEG_CHUNK * 4, blocks, 128)
-        ).reshape(SEG_CHUNK * 4 * blocks, 128)
-
-        def chunk_body(c, quad, base=base, seg=seg, lane4=lane4):
-            rows = tbl_ref[
-                0, pl.ds(pl.multiple_of(base * 4 + c * (SEG_CHUNK * 4),
-                                        SEG_CHUNK * 4), SEG_CHUNK * 4)
-            ]                                      # (CHUNK*4, 128)
-            x = jnp.broadcast_to(
-                rows[:, None, :], (SEG_CHUNK * 4, blocks, 128)
-            ).reshape(SEG_CHUNK * 4 * blocks, 128)
-            gat = jnp.take_along_axis(x, lane4, axis=1)
-            gat = gat.reshape(SEG_CHUNK, 4, blocks, 128)
-            sel = jnp.zeros((4, blocks, 128), jnp.int32)
-            local = seg - c * SEG_CHUNK
-            for sg in range(SEG_CHUNK):
-                sel = jnp.where((local == sg)[None], gat[sg], sel)
-            hit = (local >= 0) & (local < SEG_CHUNK)
-            return jnp.where(hit[None], sel, quad)
-
-        n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
-        quad = jax.lax.fori_loop(
-            0, n_chunks, chunk_body,
-            jnp.zeros((4, blocks, 128), jnp.int32),
-        )
-        fx = fx_ref[0, g]
-        fy = fy_ref[0, g]
-        comps = []
-        for c in range(4):
-            tc = [
-                ((quad[k] >> (8 * c)) & 0xFF).astype(jnp.float32)
-                * (1.0 / 255.0)
-                for k in range(4)
-            ]
-            # same association order as gbuffer._sample_mip_bilinear
-            comps.append(
-                tc[0] * (1 - fx) * (1 - fy)
-                + tc[1] * fx * (1 - fy)
-                + tc[2] * (1 - fx) * fy
-                + tc[3] * fx * fy
-            )
-        rgba = jnp.stack(comps, 0)                 # (4, blocks, 128)
+        rgba = _resolve_group(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref,
+                              fy_ref, t, hi * 5 + s, blocks=blocks)
         if not trilinear:
             acc = rgba
         else:
@@ -963,28 +970,60 @@ def _resolve_slot(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
     return acc
 
 
+def _fill_cascade(casc, off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
+                  t, blocks):
+    """Resolve the 5 LOD-clamp cascade groups (the mip+3 re-taps that
+    replace avg-color fallbacks for uncovered taps) into VMEM scratch —
+    gated per tile on the prefetched any-cascade flag, so clean tiles pay
+    nothing. casc = (sel_ref, casc_ref, n_groups); cascade groups live at
+    indices n_groups-5..n_groups-1, and cnt column n_groups is the flag."""
+    sel_ref, casc_ref, n_groups = casc
+    casc_ref[...] = jnp.zeros(casc_ref.shape, jnp.float32)
+
+    @pl.when(cnt_ref[t, n_groups] != 0)
+    def _():
+        for s in range(5):
+            casc_ref[s] = _resolve_group(
+                off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
+                t, n_groups - 5 + s, blocks=blocks,
+            )
+
+
 def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
-            out_ref, *, blocks, trilinear):
+            *rest, blocks, trilinear, cascade):
     """Per tile: resolve all (5 slots x halves) taps against staged pages.
 
-    off: (tiles, G) group start rows in the compact staged block (scalar
+    off: (tiles, G[+1]) group start rows in the compact staged block (scalar
          prefetch; SEG_CHUNK-aligned — demand-shaped layout, not cap-shaped)
-    cnt: (tiles, G) page counts (scalar prefetch)
+    cnt: (tiles, G[+1]) page counts (scalar prefetch; with cascade, column G
+         is the per-tile any-cascade flag)
     tbl: (1, B*4, 128) i32 — page p channel c at row p*4+c
     rec/fx/fy: (1, G, blocks, 128); tl: (1, 5, blocks, 128)
     out: (1, 5, 4, blocks, 128) f32 storage-space rgba
+    cascade adds: sel (1, 5, blocks, 128) input + (5, 4, blocks, 128) VMEM
+    scratch; taps with sel read the mip+3 cascade resolve instead.
     """
     t = pl.program_id(0)
+    if cascade:
+        sel_ref, out_ref, casc_ref = rest
+        casc = (sel_ref, casc_ref, rec_ref.shape[1])
+        _fill_cascade(casc, off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref,
+                      fy_ref, t, blocks)
+    else:
+        (out_ref,) = rest
     for s in range(5):
-        out_ref[0, s] = _resolve_slot(
+        acc = _resolve_slot(
             off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
             t, s, blocks=blocks, trilinear=trilinear,
         )
+        if cascade:
+            acc = jnp.where(sel_ref[0, s][None] != 0, casc_ref[s], acc)
+        out_ref[0, s] = acc
 
 
 def _resolve_shade_kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
-                          tl_ref, attr_ref, flag_ref, gb_out, *,
-                          blocks, trilinear):
+                          tl_ref, attr_ref, flag_ref, *rest,
+                          blocks, trilinear, cascade):
     """Resolve all texture taps AND evaluate the full G-buffer pixel shade
     (gbuffer.hlsl ps_main :89-148) in one kernel — the round-4 fusion that
     removes the rgba untile, the XLA shade chain, and the sRGB pass from the
@@ -997,8 +1036,17 @@ def _resolve_shade_kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
     gb_out: (1, 9, blocks, 128) f32 — [albedo(3), emission, oct(2),
             roughness, metallic, ao], RGBA8-quantized and mask-zeroed —
             exactly gbuffer._shade_from_interp's GBufferA/B/C channels.
+    cascade adds: sel (1, 5, blocks, 128) input + (5, 4, blocks, 128) VMEM
+    scratch (see _fill_cascade).
     """
     t = pl.program_id(0)
+    if cascade:
+        sel_ref, gb_out, casc_ref = rest
+        casc = (sel_ref, casc_ref, rec_ref.shape[1])
+        _fill_cascade(casc, off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref,
+                      fy_ref, t, blocks)
+    else:
+        (gb_out,) = rest
 
     def eotf(c):
         # common.srgb_eotf, channel-at-a-time
@@ -1015,6 +1063,8 @@ def _resolve_shade_kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
             off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, tl_ref,
             t, s, blocks=blocks, trilinear=trilinear,
         )                                          # (4, blocks, 128)
+        if cascade:
+            rgba = jnp.where(sel_ref[0, s][None] != 0, casc_ref[s], rgba)
         srgb_s = flag_ref[0, s] != 0
         rgb = [jnp.where(srgb_s, eotf(rgba[c]), rgba[c]) for c in range(3)]
         samples.append(rgb + [rgba[3]])
@@ -1085,7 +1135,8 @@ def _resolve_shade_kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("filter", "tile_h", "tile_w", "cap_lo", "cap_hi",
-                     "block_cap", "interpret", "stage_budget"),
+                     "block_cap", "interpret", "stage_budget", "cascade",
+                     "cascade_caps"),
 )
 def sample_atlas_tiled(
     atlas: gbuffer.AtlasDevice,
@@ -1102,17 +1153,21 @@ def sample_atlas_tiled(
     block_cap: int | None = 16,
     interpret: bool = False,
     stage_budget: int | None = None,
+    cascade: bool = False,
+    cascade_caps: tuple = (20, 8),
 ):
     """Kernel-path sampling. Returns (rgba (H, W, 5, 4) storage-space,
     covered (H, W, 5) bool, approx (H, W, 5) bool).
 
     `covered` taps are exact (bit-equal to the XLA sampler); `approx` taps
-    overflowed the tile's page budget — almost all resolve at the texture's
-    coarsest mip (its average color), the graceful-degradation mode of a real
-    texture cache. A tap can additionally overflow the CAP_FB fallback budget
-    (5+ distinct textures in one (tile, slot) group — adversarial content);
-    those taps read the group's first staged fallback page instead. Both
-    kinds are counted in `approx` so the honesty counter never under-reports."""
+    overflowed the tile's page budget — they resolve at the texture's
+    coarsest mip (its average color), or, with `cascade`, at a mip_lo+3
+    re-tap (a mild blur — see _plan_and_stage), the graceful-degradation
+    modes of a real texture cache. A tap can additionally overflow the
+    CAP_FB fallback budget (5+ distinct textures in one (tile, slot) group —
+    adversarial content); those taps read the group's first staged fallback
+    page instead. All kinds are counted in `approx` so the honesty counter
+    never under-reports."""
     height, width = u.shape
     trilinear = filter != "bilinear"
     p = tile_h * tile_w
@@ -1125,32 +1180,41 @@ def sample_atlas_tiled(
     def tile_g(x):  # (H, W, 5) -> (tiles, 5, blocks, 128)
         return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
 
-    (off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t,
-     covered_t) = _plan_and_stage(
+    (off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t, covered_t,
+     sel_t) = _plan_and_stage(
         atlas, tile_g(tex), tile_g(u5), tile_g(v5), tile_g(lod),
         tile_g(active), trilinear=trilinear, cap_lo=cap_lo, cap_hi=cap_hi,
         block_cap=block_cap, stage_budget=stage_budget, interpret=interpret,
+        cascade=cascade, cap_casc=cascade_caps[0],
+        block_cap_casc=cascade_caps[1],
     )
 
     g = rec_t.shape[1]
     B = staged.shape[1] // 4
     n_tiles = rec_t.shape[0]
     kernel = functools.partial(
-        _kernel, blocks=blocks, trilinear=trilinear,
+        _kernel, blocks=blocks, trilinear=trilinear, cascade=cascade,
     )
+    spec_g = pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0))
+    spec_5 = pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, B * 4, 128), lambda t, *_: (t, 0, 0)),
+        spec_g, spec_g, spec_g, spec_5,
+    ]
+    args = [off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t]
+    scratch = []
+    if cascade:
+        in_specs.append(spec_5)
+        args.append(sel_t)
+        scratch = [pltpu.VMEM((5, 4, blocks, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, B * 4, 128), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 5, 4, blocks, 128), lambda t, *_: (t, 0, 0, 0, 0)
         ),
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -1162,7 +1226,7 @@ def sample_atlas_tiled(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t)
+    )(*args)
 
     rgba = jnp.moveaxis(_untile(out, height, width, tile_h, tile_w), (0, 1),
                         (2, 3))                        # (H, W, 5, 4)
@@ -1174,7 +1238,8 @@ def sample_atlas_tiled(
 
 
 def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
-                    cap_lo, cap_hi, block_cap, stage_budget, interpret):
+                    cap_lo, cap_hi, block_cap, stage_budget, interpret,
+                    cascade=False, cap_casc=12, block_cap_casc=4):
     """The texture cache's per-frame PLAN in tiled layout: mip selection,
     tap addressing, page covers, and the compact staged-page block.
 
@@ -1183,16 +1248,27 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
     raster kernel's (tiles, p, 24) plane blocks (the fused G-buffer path,
     which never materializes an (H, W) layout between raster and shade).
 
-    Returns (off_arr, cnts (tiles, G) staging offsets/counts for scalar
-    prefetch, staged (tiles, B*4, 128) i32 page block, rec/fx/fy
-    (tiles, G, blocks, 128) tap records, tl (tiles, 5, blocks, 128)
-    trilinear fracs, covered (tiles, 5, blocks, 128) bool)."""
+    With `cascade`, 5 extra groups plan a LOD-clamp re-tap at mip_lo+3 for
+    the taps whose primary cover overflowed (what a HW texture cache does
+    when a mip isn't resident): 64x fewer pages per footprint, so the
+    overflow regions resolve at a mild blur instead of the coarsest-mip
+    average. The cascade only covers pre-budget-uncovered taps, so clean
+    tiles plan empty cascade groups (skipped by the cover kernel's
+    empty-group gate and the resolve kernel's per-tile flag).
+
+    Returns (off_arr (tiles, G), cnts (tiles, G[+1]; with cascade the last
+    column is the per-tile any-cascade flag), staged (tiles, B*4, 128) i32
+    page block, rec/fx/fy (tiles, G, blocks, 128) tap records,
+    tl (tiles, 5, blocks, 128) trilinear fracs,
+    covered (tiles, 5, blocks, 128) bool exact-tap mask,
+    sel (tiles, 5, blocks, 128) i32 cascade-resolve mask or None)."""
     n_tiles, _, blocks, _ = tex_t.shape
     # group caps must be SEG_CHUNK-aligned so chunked sweeps stay in-bounds
     assert (cap_lo + CAP_FB) % SEG_CHUNK == 0
     assert (cap_hi + CAP_FB) % SEG_CHUNK == 0
+    assert (cap_casc + CAP_FB) % SEG_CHUNK == 0
 
-    base_w, base_h, pb, fb_page0, mips, tfrac_t = _mip_plan(
+    base_w, base_h, pb, fb_page0, mips, tfrac_t, n_mips_t = _mip_plan(
         atlas, tex_t, lod_t, trilinear
     )
 
@@ -1218,10 +1294,29 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
         )
         halves.append((page_list, count, slot, intra, fx, fy, found))
 
+    groups = list(halves)
+    caps_list = list((cap_lo, cap_hi)[: len(halves)])
+    if cascade:
+        foundall = halves[0][6]
+        for h in halves[1:]:
+            foundall = foundall & h[6]
+        mip_c = jnp.minimum(mips[0] + 3, n_mips_t - 1)
+        page_c, intra_c, fx_c, fy_c = _tap_addresses(
+            base_w, base_h, select_mip(pb, mip_c), mip_c, u_t, v_t
+        )
+        act_c = act_t & ~foundall
+        pl_c, cnt_c, slot_c, found_c = _cover_and_match(
+            page_c, act_c, cap_casc, block_cap=block_cap_casc,
+            kernel=True, interpret=interpret,
+        )
+        groups.append((pl_c, cnt_c, slot_c, intra_c, fx_c, fy_c, found_c))
+        caps_list.append(cap_casc)
+
     # a tap is exact only if EVERY mip half made its cover (and fits the
     # staged budget, below); otherwise the WHOLE tap resolves via the
     # fallback page (never a half-blend), so `approx` taps are exactly the
-    # coarsest-mip average color
+    # coarsest-mip average color — or, with `cascade`, the mip_lo+3 re-tap
+    # where THAT cover held
     # ---- compact (demand-shaped) staging layout --------------------------
     # Realized demand is heavy-tailed (reference scene @1080p: mean ~5
     # pages/group vs the 92-page cap — tools/tap_census.py), so the staged
@@ -1235,18 +1330,17 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
     # fallback pages ALWAYS fit — budget pressure can degrade taps to the
     # coarsest-mip average but never to garbage reads.
     n_halves = len(halves)
-    G = n_halves * 5
-    caps_half = (cap_lo, cap_hi)[:n_halves]
+    G = len(groups) * 5
 
     def align8(x):
         return -(-x // SEG_CHUNK) * SEG_CHUNK
 
-    span_max_h = [align8(CAP_FB + c) for c in caps_half]
+    span_max_h = [align8(CAP_FB + c) for c in caps_list]
     full_budget = 5 * sum(span_max_h)
     B = full_budget if stage_budget is None else min(stage_budget, full_budget)
     assert B % SEG_CHUNK == 0 and B >= SEG_CHUNK * G
 
-    counts_all = jnp.concatenate([h[1] for h in halves], axis=1)  # (tiles, G)
+    counts_all = jnp.concatenate([h[1] for h in groups], axis=1)  # (tiles, G)
     span_want = align8(CAP_FB + counts_all)
     offs, spans = [], []
     off = jnp.zeros((n_tiles,), jnp.int32)
@@ -1270,12 +1364,20 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
 
     cnts, recs, fxs, fys, ids_fullG = [], [], [], [], []
     span_maxG = max(span_max_h)
-    for hi, (page_list, count, slot, intra_t, fx_t1, fy_t1, _found) in \
-            enumerate(halves):
-        recs.append(jnp.where(covered_t, (CAP_FB + slot) * 128 + intra_t,
+    sel_t = None
+    for hi, (page_list, count, slot, intra_t, fx_t1, fy_t1, found) in \
+            enumerate(groups):
+        if hi < n_halves:
+            ok = covered_t
+        else:
+            # cascade group: resolve where its own cover held (budget-fit)
+            ce_c = count_eff[:, hi * 5:(hi + 1) * 5][..., None, None]
+            ok = found & (slot < ce_c)
+            sel_t = (ok & act_t & ~covered_t).astype(jnp.int32)
+        recs.append(jnp.where(ok, (CAP_FB + slot) * 128 + intra_t,
                               fb_slot_t * 128))
-        fxs.append(jnp.where(covered_t, fx_t1, fb_fx_t))
-        fys.append(jnp.where(covered_t, fy_t1, fb_fy_t))
+        fxs.append(jnp.where(ok, fx_t1, fb_fx_t))
+        fys.append(jnp.where(ok, fy_t1, fb_fy_t))
         idg = jnp.concatenate([fb_list, page_list], axis=-1)
         pad = span_maxG - idg.shape[-1]
         if pad:
@@ -1286,6 +1388,11 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
     fx_t = jnp.concatenate(fxs, axis=1)
     fy_t = jnp.concatenate(fys, axis=1)
     cnts = jnp.concatenate(cnts, axis=1)               # (tiles, G)
+    if cascade:
+        # per-tile any-cascade flag rides the scalar-prefetch counts so the
+        # resolve kernel skips the 5 cascade sweeps on clean tiles
+        casc_any = sel_t.reshape(n_tiles, -1).any(axis=1).astype(jnp.int32)
+        cnts = jnp.concatenate([cnts, casc_any[:, None]], axis=1)
     ids_fullG = jnp.concatenate(ids_fullG, axis=1)     # (tiles, G, span_maxG)
 
     # pack: scatter each group's rows to its offset (unique destinations by
@@ -1306,14 +1413,15 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
         staged.reshape(n_tiles, B * 4, 128), jnp.int32
     )
 
-    return off_arr, cnts, staged, rec_t, fx_t, fy_t, tfrac_t, covered_t
+    return (off_arr, cnts, staged, rec_t, fx_t, fy_t, tfrac_t, covered_t,
+            sel_t)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "filter",
                      "cap_lo", "cap_hi", "block_cap", "interpret",
-                     "stage_budget"),
+                     "stage_budget", "cascade", "cascade_caps"),
 )
 def shade_planes_fused(
     atlas: gbuffer.AtlasDevice,
@@ -1329,6 +1437,8 @@ def shade_planes_fused(
     block_cap: int | None = 16,
     interpret: bool = False,
     stage_budget: int | None = None,
+    cascade: bool = False,
+    cascade_caps: tuple = (20, 8),
 ):
     """The fused G-buffer back half: raster plane blocks -> final quantized
     G-buffer planes, never materializing an (H, W) layout in between.
@@ -1396,11 +1506,13 @@ def shade_planes_fused(
 
     u5_t = jnp.broadcast_to(uv_t[:, 0][:, None], tex_t.shape)
     v5_t = jnp.broadcast_to(uv_t[:, 1][:, None], tex_t.shape)
-    (off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t,
-     covered_t) = _plan_and_stage(
+    (off_arr, cnts, staged, rec_t, fx_t, fy_t, tl_t, covered_t,
+     sel_t) = _plan_and_stage(
         atlas, pad_b(tex_t), pad_b(u5_t), pad_b(v5_t), pad_b(lod_t),
         pad_b(act_t), trilinear=trilinear, cap_lo=cap_lo, cap_hi=cap_hi,
         block_cap=block_cap, stage_budget=stage_budget, interpret=interpret,
+        cascade=cascade, cap_casc=cascade_caps[0],
+        block_cap_casc=cascade_caps[1],
     )
 
     srgb5 = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex_t)
@@ -1414,22 +1526,31 @@ def shade_planes_fused(
     B = staged.shape[1] // 4
     kernel = functools.partial(
         _resolve_shade_kernel, blocks=blocks, trilinear=trilinear,
+        cascade=cascade,
     )
+    spec_g = pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0))
+    spec_5 = pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, B * 4, 128), lambda t, *_: (t, 0, 0)),
+        spec_g, spec_g, spec_g, spec_5,
+        pl.BlockSpec((1, 17, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+        pl.BlockSpec((1, 6, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
+    ]
+    args = [off_arr, cnts, staged, pad_b(rec_t), pad_b(fx_t), pad_b(fy_t),
+            pad_b(tl_t), pad_b(attrs), pad_b(flags)]
+    scratch = []
+    if cascade:
+        in_specs.append(spec_5)
+        args.append(sel_t)
+        scratch = [pltpu.VMEM((5, 4, blocks, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, B * 4, 128), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 5, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 17, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-            pl.BlockSpec((1, 6, blocks, 128), lambda t, *_: (t, 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 9, blocks, 128), lambda t, *_: (t, 0, 0, 0)
         ),
+        scratch_shapes=scratch,
     )
     gb_tiles = pl.pallas_call(
         kernel,
@@ -1441,8 +1562,7 @@ def shade_planes_fused(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(off_arr, cnts, staged, pad_b(rec_t), pad_b(fx_t), pad_b(fy_t),
-      pad_b(tl_t), pad_b(attrs), pad_b(flags))
+    )(*args)
 
     gb9 = _untile(gb_tiles, height, width, tile_h, tile_w)  # (9, H, W)
     approx_count = (
@@ -1460,6 +1580,8 @@ def sample_atlas_textured(
     cap_lo: int = 92,
     cap_hi: int = 44,
     stage_budget: int | None = None,
+    cascade: bool = False,
+    cascade_caps: tuple = (20, 8),
 ):
     """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
     covered taps (>99.4% at 1080p, typically 100% at test sizes), coarsest-mip
@@ -1476,7 +1598,8 @@ def sample_atlas_textured(
         atlas, tex, u, v, lod, active,
         filter=filter, tile_h=tile[0], tile_w=tile[1], block_cap=block_cap,
         interpret=interpret, cap_lo=cap_lo, cap_hi=cap_hi,
-        stage_budget=stage_budget,
+        stage_budget=stage_budget, cascade=cascade,
+        cascade_caps=cascade_caps,
     )
     # sRGB flag via a tiny one-hot matmul (no per-pixel gather)
     srgb = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex)
@@ -1529,7 +1652,8 @@ def tap_census(
 
     u5 = jnp.broadcast_to(u[..., None], tex.shape)
     v5 = jnp.broadcast_to(v[..., None], tex.shape)
-    base_w, base_h, pb, _fb, mips, _tf = _mip_plan(atlas, tex, lod, trilinear)
+    base_w, base_h, pb, _fb, mips, _tf, _nm = _mip_plan(atlas, tex, lod,
+                                                       trilinear)
 
     def tile_g(x):  # (H, W, 5) -> (tiles, 5, blocks, 128)
         return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)

@@ -5,11 +5,11 @@ scaling axis is the screen: a 1D `jax.sharding.Mesh` over axis ``"sp"``
 (screen/space parallelism — the renderer's analog of data parallelism) splits
 the framebuffer into row bands. The frame is one jit in two regimes:
 
-* **shard_map band render** — each chip runs the (cheap, replicated) vertex
-  transform + triangle setup, bins triangles against *its* rows only, and
-  rasterizes + G-buffer-shades + deferred-shades its band (the heavy,
-  perfectly parallel work). The band leaves the shard_map still sharded
-  (`out_specs=P("sp")`) — no gather, no replication.
+* **shard_map band render** — each chip runs the (cheap, replicated)
+  frustum cull + vertex transform + triangle setup, bins triangles against
+  *its* rows only, and rasterizes + G-buffer-shades + deferred-shades its
+  band (the heavy, perfectly parallel work). The band leaves the shard_map
+  still sharded (`out_specs=P("sp")`) — no gather, no replication.
 * **GSPMD post chain** — bloom, auto-exposure and tone mapping run as
   ordinary global-semantics ops annotated with row shardings
   (`ops/bloom.bloom(row_sharding=...)`): the partitioner keeps every
@@ -17,8 +17,18 @@ the framebuffer into row bands. The frame is one jit in two regimes:
   exchanges and the exposure psum as ICI collectives. Only the tiny deep
   pyramid mips (<1% of pixel work) replicate.
 
+Feature parity with the single-chip pipeline is BY CONSTRUCTION:
+`build_sharded_frame(mesh, pipe)` reads every knob (fused G-buffer path,
+raster split caps, texture/env cache budgets, LOD cascade, light-tile
+kernel) off the `DeferredRenderPipeline` it shards, and the band body calls
+the same `pipeline.stages` / `ops.gbuffer` entry points the single-chip
+graph does — so a kernel added to the pipeline is automatically the one
+the sharded frame multiplies (the round-3 drift this API closes).
+
 Scene buffers and lights are replicated (tens of MB — the natural choice at
 this scale; texture-atlas sharding over a second axis is the growth path).
+Culling runs ON DEVICE (replicated, vectorized AABB-vs-planes) exactly like
+the single-chip Cull pass, so the host uploads only bounds + matrices.
 """
 
 from __future__ import annotations
@@ -28,98 +38,149 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import RenderConfig
 from ..ops import bloom as bloom_ops
-from ..ops import postprocess
+from ..ops import common, gbuffer, postprocess
 from ..pipeline import stages
 
 
-def build_sharded_frame(
-    mesh: Mesh,
-    config: RenderConfig,
-    tile_h: int,
-    tile_w: int,
-    bin_cap: int,
-    enable_bloom: bool = True,
-    use_pallas: bool | None = None,
-    texture_filter: str = "trilinear",
-    max_active_lights: int = 64,
-    pallas_interpret: bool = False,
-    use_tex_kernel: bool | None = None,
-    env_ids: tuple | None = None,
-    collect_stats: bool = False,
-):
-    """Returns jit(frame) where raster/shade AND the post chain are
-    row-sharded over mesh axis 'sp'. The returned function takes the same
-    pytree of buffers as the single-chip pipeline plus per-frame arrays and
-    yields an (H, W, 3) uint8 image (row-sharded across the mesh; np.asarray
-    assembles it) and the new average-luminance carry. With
-    ``collect_stats=True`` it additionally returns the FrameStats triple
-    (bin_counts over all tiles, tex_approx_count, light_trunc) the
-    single-chip `_frame` reports."""
+def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
+    """jit(frame) rendering `pipe`'s scene row-band-sharded over mesh axis
+    'sp', with the SAME kernels and knobs as `pipe`'s single-chip graph.
+
+    frame(buffers, model_mats, normal_mats, instance_bounds, light_bounds,
+          frustum_planes, view, inv_view, view_proj, camera_pos,
+          prev_avg_lum, delta_time)
+      -> (rgb8 (H, W, 3) row-sharded, avg_luminance)
+      [+ (bin_counts (tiles,), tex_approx, light_trunc) with collect_stats]
+
+    Frustum culling happens on device inside the band body (replicated) —
+    the host ships bounds and matrices only, matching the single-chip Cull
+    pass. Bands pad to whole tiles internally (H must split into n_dev
+    equal bands; each band's canvas rounds up to the tile grid and crops
+    back), so 1080p runs on 8 chips (135-row bands on a 144-row canvas).
+    """
     n_dev = mesh.shape["sp"]
-    w, h = config.width, config.height
-    assert h % (n_dev * tile_h) == 0, (
-        f"height {h} must split into {n_dev} bands of tile_h={tile_h} tiles"
-    )
+    cfg = pipe.config
+    w, h = cfg.width, cfg.height
+    tile_h, tile_w, bin_cap = pipe.tile_h, pipe.tile_w, pipe.bin_cap
+    assert h % n_dev == 0, f"height {h} must split into {n_dev} equal bands"
     band_h = h // n_dev
-    if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
-    use_pallas = use_pallas and (bin_cap % 128 == 0)
-    if use_tex_kernel is None:
-        use_tex_kernel = jax.default_backend() not in ("cpu",)
+    band_rh = -(-band_h // tile_h) * tile_h  # pad-to-tile band canvas
+    rw = -(-w // tile_w) * tile_w
+    env_ids = pipe.env_ids
     from ..ops import texcache as _texcache
 
-    band_tile = _texcache.pick_tile(config.height // n_dev, config.width)
-    use_tex_kernel = use_tex_kernel and band_tile is not None
+    band_tile = _texcache.pick_tile(band_rh, rw)
+    use_tex_kernel = pipe.use_tex_kernel and band_tile is not None
+    use_fused = (
+        pipe.use_fused_gbuffer and use_tex_kernel
+        and tile_w % 128 == 0 and tile_h % 2 == 0
+    )
     if band_tile is None:
         env_ids = None
 
     def band_render(
-        buffers, model_mats, normal_mats, instance_visible, light_valid,
-        view, inv_view, view_proj, camera_pos,
+        buffers, model_mats, normal_mats, instance_bounds, light_bounds,
+        frustum_planes, view, inv_view, view_proj, camera_pos,
     ):
         band = jax.lax.axis_index("sp")
         y0 = (band * band_h).astype(jnp.float32)
+
+        # device-side frustum cull (replicated — the single-chip Cull pass);
+        # pool-padding rows (zero AABBs at the origin) are masked off by
+        # index exactly like the Cull pass's [:n] slice
+        n_inst, n_lgt = pipe.packed.instance_count, pipe.packed.light_count
+        instance_visible = common.frustum_cull_aabbs(
+            frustum_planes, instance_bounds[:, 0], instance_bounds[:, 1]
+        ) & (jnp.arange(instance_bounds.shape[0]) < n_inst)
+        light_valid = common.frustum_cull_aabbs(
+            frustum_planes, light_bounds[:, 0], light_bounds[:, 1]
+        ) & (jnp.arange(light_bounds.shape[0]) < n_lgt)
 
         # replicated vertex/setup work (small vs. per-pixel work); the heavy
         # per-pixel stages below are the SAME functions the single-chip
         # pipeline runs (pipeline.stages), with y_offset/band plumbing — the
         # only sharding-specific code here is the mesh glue.
         setup, vattrs = stages.geometry(
-            buffers, model_mats, normal_mats, instance_visible, view_proj, w, h
+            buffers, model_mats, normal_mats, instance_visible, view_proj,
+            w, h,
         )
         bins = stages.binning(
-            setup, w, band_h, tile_h, tile_w, bin_cap, y_offset=y0
+            setup, rw, band_rh, tile_h, tile_w, bin_cap, y_offset=y0
         )
-        tri_id, depth = stages.rasterize(
-            setup, bins, w, band_h, tile_h, tile_w, use_pallas, y_offset=y0,
-            pallas_interpret=pallas_interpret,
+        if use_fused:
+            tri_id, depth, pl_tiles, id_tiles = stages.rasterize_interp(
+                setup, bins, buffers, vattrs, rw, band_rh, tile_h, tile_w,
+                y_offset=y0, pallas_interpret=pipe.pallas_interpret,
+                return_tiled=True, raster_caps=pipe.raster_caps,
+            )
+            gb = gbuffer.gbuffer_shade_fused(
+                tri_id, depth, pl_tiles, id_tiles, buffers["atlas"],
+                band_rh, rw, tile_h, tile_w, pipe.texture_filter,
+                tex_interpret=pipe.pallas_interpret,
+                tex_caps=pipe.tex_caps, tex_cascade=pipe.tex_cascade,
+            )
+        elif pipe.use_pallas:
+            tri_id, depth, planes = stages.rasterize_interp(
+                setup, bins, buffers, vattrs, rw, band_rh, tile_h, tile_w,
+                y_offset=y0, pallas_interpret=pipe.pallas_interpret,
+                raster_caps=pipe.raster_caps,
+            )
+            gb = gbuffer.gbuffer_shade_planar(
+                tri_id, depth, planes, buffers["atlas"], pipe.texture_filter,
+                use_tex_kernel=use_tex_kernel,
+                tex_interpret=pipe.pallas_interpret,
+                tex_caps=pipe.tex_caps, tex_cascade=pipe.tex_cascade,
+            )
+        else:
+            tri_id, depth = stages.rasterize(
+                setup, bins, rw, band_rh, tile_h, tile_w, pipe.use_pallas,
+                y_offset=y0, pallas_interpret=pipe.pallas_interpret,
+            )
+            gb = stages.gbuffer_shade(
+                tri_id, depth, setup, buffers, vattrs, rw, band_rh,
+                texture_filter=pipe.texture_filter, y_offset=y0,
+                use_tex_kernel=use_tex_kernel,
+                tex_interpret=pipe.pallas_interpret,
+                tex_caps=pipe.tex_caps, tex_cascade=pipe.tex_cascade,
+            )
+        active = stages.active_lights(
+            buffers, light_valid, view, pipe.max_active_lights
         )
-        gb = stages.gbuffer_shade(
-            tri_id, depth, setup, buffers, vattrs, w, band_h,
-            texture_filter=texture_filter, y_offset=y0,
-            use_tex_kernel=use_tex_kernel, tex_interpret=pallas_interpret,
-        )
-        active = stages.active_lights(buffers, light_valid, view, max_active_lights)
         rt_band = stages.deferred_shade(
-            gb, buffers, active, inv_view, camera_pos, config, w, band_h,
-            y_offset=y0, full_height=h,
+            gb, buffers, active, inv_view, camera_pos, cfg, rw, band_rh,
+            y_offset=y0, full_height=h, full_width=w,
             env_ids=env_ids,
             env_tile=band_tile if env_ids is not None else None,
-            env_interpret=pallas_interpret,
+            env_interpret=pipe.pallas_interpret,
+            env_budget=pipe.env_budget,
+            light_tile=pipe.light_tile, light_cap=pipe.light_cap,
         )
+        rt_band = rt_band[:band_h, :w]  # crop the band's pad-to-tile canvas
         if not collect_stats:
             return rt_band
         tex_approx = (gb.tex_approx if gb.tex_approx is not None
                       else jnp.zeros((), jnp.int32))
-        return rt_band, bins.counts, tex_approx[None]
+        if pipe.light_tile is not None:
+            from ..ops import lights_pallas
 
-    out_specs = (P("sp"), P("sp"), P("sp")) if collect_stats else P("sp")
+            th, tw = pipe.light_tile
+            _, counts = lights_pallas.tile_light_lists(
+                active, band_rh // th, rw // tw, th, tw, w, h,
+                cfg.fov, cfg.ratio, cfg.near, cfg.far, pipe.light_cap,
+                y_offset=y0,
+            )
+            trunc = jnp.maximum(counts - pipe.light_cap, 0).max()
+        else:
+            trunc = jnp.zeros((), jnp.int32)
+        return rt_band, bins.counts, tex_approx[None], trunc[None]
+
+    out_specs = ((P("sp"), P("sp"), P("sp"), P("sp")) if collect_stats
+                 else P("sp"))
     shard_fn = jax.shard_map(
         band_render,
         mesh=mesh,
-        in_specs=(P(),) * 9,
+        in_specs=(P(),) * 10,
         out_specs=out_specs,
         check_vma=False,
     )
@@ -127,12 +188,13 @@ def build_sharded_frame(
     sp = NamedSharding(mesh, P("sp"))
 
     def frame(
-        buffers, model_mats, normal_mats, instance_visible, light_valid,
-        view, inv_view, view_proj, camera_pos, prev_avg_lum, delta_time,
+        buffers, model_mats, normal_mats, instance_bounds, light_bounds,
+        frustum_planes, view, inv_view, view_proj, camera_pos,
+        prev_avg_lum, delta_time,
     ):
         out = shard_fn(
-            buffers, model_mats, normal_mats, instance_visible, light_valid,
-            view, inv_view, view_proj, camera_pos,
+            buffers, model_mats, normal_mats, instance_bounds, light_bounds,
+            frustum_planes, view, inv_view, view_proj, camera_pos,
         )
         rt = out[0] if collect_stats else out
         rt = jax.lax.with_sharding_constraint(rt, sp)
@@ -140,7 +202,7 @@ def build_sharded_frame(
         # post chain: global-semantics ops, row-sharded by GSPMD (bloom
         # crosses band boundaries only through 4-row blur halos and the
         # tiny deep mips; exposure is a global reduction -> psum)
-        if enable_bloom:
+        if cfg.enable_bloom:
             rt = bloom_ops.bloom(rt, row_sharding=sp)
         avg = postprocess.average_luminance_direct(
             rt, float(w * h), prev_avg_lum, delta_time
@@ -150,7 +212,7 @@ def build_sharded_frame(
             (img * 255.0 + 0.5).astype(jnp.uint8), sp
         )
         if collect_stats:
-            return rgb8, avg, out[1], out[2].sum(), jnp.zeros((), jnp.int32)
+            return rgb8, avg, out[1], out[2].sum(), out[3].max()
         return rgb8, avg
 
     return jax.jit(frame)

@@ -70,6 +70,8 @@ class DeferredRenderPipeline:
         light_cap: int | None = None,
         tex_caps: tuple[int, int] | None = None,
         env_budget: int | None = None,
+        tex_cascade: bool = False,
+        raster_caps: tuple | None = None,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -100,6 +102,18 @@ class DeferredRenderPipeline:
         # worst-case-content defaults. Under-sized caps degrade to the
         # counted coarsest-mip fallback, never corruption.
         self.tex_caps = tex_caps
+        # LOD-clamp cascade for the texture cache (OPT-IN): taps whose
+        # page cover overflowed re-tap at mip_lo+3 (a mild blur) instead of
+        # the coarsest-mip average. Measured on the reference scene it cut
+        # the block_cap-12 gate rmse 0.0043 -> 0.0033 but cost ~8% fps and
+        # slightly HURT the block_cap-16 rmse (blur vs average is not a
+        # uniform win after shading) — the production fidelity fix is
+        # measured cover capacity instead (docs/PERF.md round-4).
+        self.tex_cascade = tex_cascade
+        # (cap_small, hot_k) override for the two-pass raster's pre-gather
+        # split (raster_pallas.split_caps); None keeps the heuristic. Sized
+        # from the measured bin-count distribution (docs/PERF.md round-4).
+        self.raster_caps = raster_caps
         # env-cache compact-staging page budget (tools/tap_census.py sizes
         # it); None stages the worst-case cap-shaped layout
         self.env_budget = env_budget
@@ -311,12 +325,13 @@ class DeferredRenderPipeline:
                 tri_id, depth, pl_tiles, id_tiles = stages.rasterize_interp(
                     setup, bins, env, vattrs, rw, rh, self.tile_h, self.tile_w,
                     pallas_interpret=self.pallas_interpret, return_tiled=True,
+                    raster_caps=self.raster_caps,
                 )
                 gb = gbuffer.gbuffer_shade_fused(
                     tri_id, depth, pl_tiles, id_tiles, env["atlas"],
                     rh, rw, self.tile_h, self.tile_w, self.texture_filter,
                     tex_interpret=self.pallas_interpret,
-                    tex_caps=self.tex_caps,
+                    tex_caps=self.tex_caps, tex_cascade=self.tex_cascade,
                 )
                 return {
                     "GBufferA": gb.albedo_emission,
@@ -334,12 +349,13 @@ class DeferredRenderPipeline:
                 tri_id, depth, planes = stages.rasterize_interp(
                     setup, bins, env, vattrs, rw, rh, self.tile_h, self.tile_w,
                     pallas_interpret=self.pallas_interpret,
+                    raster_caps=self.raster_caps,
                 )
                 gb = gbuffer.gbuffer_shade_planar(
                     tri_id, depth, planes, env["atlas"], self.texture_filter,
                     use_tex_kernel=self.use_tex_kernel,
                     tex_interpret=self.pallas_interpret,
-                    tex_caps=self.tex_caps,
+                    tex_caps=self.tex_caps, tex_cascade=self.tex_cascade,
                 )
                 return {
                     "GBufferA": gb.albedo_emission,
@@ -355,13 +371,14 @@ class DeferredRenderPipeline:
             tri_id, depth = stages.rasterize(
                 setup, bins, rw, rh, self.tile_h, self.tile_w, self.use_pallas,
                 pallas_interpret=self.pallas_interpret,
+                raster_caps=self.raster_caps,
             )
             gb = stages.gbuffer_shade(
                 tri_id, depth, setup, env, vattrs, rw, rh,
                 texture_filter=self.texture_filter,
                 use_tex_kernel=self.use_tex_kernel,
                 tex_interpret=self.pallas_interpret,
-                tex_caps=self.tex_caps,
+                tex_caps=self.tex_caps, tex_cascade=self.tex_cascade,
             )
             return {
                 "GBufferA": gb.albedo_emission,
@@ -670,9 +687,13 @@ class DeferredRenderPipeline:
             if self.use_pallas:
                 # two-pass raster: tiles beyond the hot set that exceed the
                 # small cap also lose triangles — surface them the same way
-                cap_small, hot_k = raster_pallas.split_caps(
-                    self.bin_cap, counts_np.size
-                )
+                if self.raster_caps is not None:
+                    cap_small, hot_k = self.raster_caps
+                    hot_k = min(hot_k, counts_np.size)
+                else:
+                    cap_small, hot_k = raster_pallas.split_caps(
+                        self.bin_cap, counts_np.size
+                    )
                 n_over_small = int((counts_np > cap_small).sum())
                 if n_over_small > hot_k:
                     over = np.sort(counts_np[counts_np > cap_small])

@@ -61,11 +61,13 @@ def binning(setup, width: int, band_h: int, tile_h: int, tile_w: int,
 
 
 def rasterize(setup, bins, width: int, band_h: int, tile_h: int, tile_w: int,
-              use_pallas: bool, y_offset=0, pallas_interpret: bool = False):
+              use_pallas: bool, y_offset=0, pallas_interpret: bool = False,
+              raster_caps: tuple | None = None):
     if use_pallas:
+        cs, hk = raster_caps if raster_caps is not None else (None, None)
         return raster_pallas.rasterize_pallas(
             setup, bins, width, band_h, tile_h, tile_w, y_offset=y_offset,
-            interpret=pallas_interpret,
+            interpret=pallas_interpret, cap_small=cs, hot_k=hk,
         )
     return raster.rasterize(
         setup, bins, width, band_h, tile_h, tile_w, y_offset=y_offset
@@ -90,7 +92,8 @@ def pack_rows64(setup, buffers, vattrs):
 def rasterize_interp(setup, bins, buffers, vattrs, width: int, band_h: int,
                      tile_h: int, tile_w: int, y_offset=0,
                      pallas_interpret: bool = False,
-                     return_tiled: bool = False):
+                     return_tiled: bool = False,
+                     raster_caps: tuple | None = None):
     """Fused raster + attribute interpolation (Pallas path): returns
     (tri_id, depth, planes (24, band_h, width)) with planes matching the
     tri_rows[tid]-gather path (exact material columns, interp to FMA
@@ -100,10 +103,11 @@ def rasterize_interp(setup, bins, buffers, vattrs, width: int, band_h: int,
     return_tiled=True yields (tri_id, depth, pl_tiles, id_tiles) raw tile
     blocks for the fused G-buffer path (gbuffer.gbuffer_shade_fused)."""
     rows64 = pack_rows64(setup, buffers, vattrs)
+    cs, hk = raster_caps if raster_caps is not None else (None, None)
     return raster_pallas.rasterize_interp_pallas(
         setup, bins, rows64, width, band_h, tile_h, tile_w,
         y_offset=y_offset, interpret=pallas_interpret,
-        return_tiled=return_tiled,
+        return_tiled=return_tiled, cap_small=cs, hot_k=hk,
     )
 
 
@@ -111,7 +115,8 @@ def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
                   band_h: int, texture_filter: str, y_offset=0,
                   use_tex_kernel: bool = False,
                   tex_interpret: bool = False,
-                  tex_caps: tuple[int, int] | None = None) -> gbuffer.GBuffer:
+                  tex_caps: tuple[int, int] | None = None,
+                  tex_cascade: bool = False) -> gbuffer.GBuffer:
     # one 256 B row per triangle carrying EVERYTHING pixel shading needs
     # (edge/bary coefficients, material constants, the 3 vertex attribute
     # rows) -> the per-pixel stage issues ONE gather instead of four
@@ -123,7 +128,7 @@ def gbuffer_shade(tri_id, depth, setup, buffers, vattrs, width: int,
         tri_id, depth, tri_rows, buffers["atlas"],
         width, band_h, y_offset=y_offset, texture_filter=texture_filter,
         use_tex_kernel=use_tex_kernel, tex_interpret=tex_interpret,
-        tex_caps=tex_caps,
+        tex_caps=tex_caps, tex_cascade=tex_cascade,
     )
 
 

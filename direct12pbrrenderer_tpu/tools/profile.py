@@ -95,9 +95,28 @@ def profile_pipeline(pipe, camera, iters: int = 5):
     binf = lambda s: stages.binning(s, w, h, pipe.tile_h, pipe.tile_w, pipe.bin_cap)
     bins = run("binning", binf, setup)
 
-    if pipe.use_pallas:
-        # the pipeline's actual hot path: fused raster + interpolation
-        # (winning row selected in the depth fold), then planar G-buffer
+    if getattr(pipe, "use_fused_gbuffer", False):
+        # the pipeline's actual hot path (round 4): fused raster + interp,
+        # then the fused plan+resolve+shade on the raw tile blocks
+        from ..ops import gbuffer as gbuffer_ops
+
+        rastf = lambda s, b, bu, va: stages.rasterize_interp(
+            s, b, bu, va, w, h, pipe.tile_h, pipe.tile_w,
+            pallas_interpret=pipe.pallas_interpret, return_tiled=True,
+            raster_caps=pipe.raster_caps,
+        )
+        tri_id, depth, pl_tiles, id_tiles = run(
+            "raster", rastf, setup, bins, buffers, vattrs
+        )
+        gbf = lambda t, d, plt, idt, b: gbuffer_ops.gbuffer_shade_fused(
+            t, d, plt, idt, b["atlas"], h, w, pipe.tile_h, pipe.tile_w,
+            pipe.texture_filter, tex_caps=pipe.tex_caps,
+            tex_cascade=pipe.tex_cascade,
+        )
+        gb = run("gbuffer_shade", gbf, tri_id, depth, pl_tiles, id_tiles,
+                 buffers)
+    elif pipe.use_pallas:
+        # fused raster + interpolation, then planar G-buffer
         from ..ops import gbuffer as gbuffer_ops
 
         rastf = lambda s, b, bu, va: stages.rasterize_interp(

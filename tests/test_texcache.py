@@ -383,6 +383,89 @@ def test_shade_planes_fused_matches_planar():
     assert int(got.tex_approx) == int(ref.tex_approx)
 
 
+def test_cascade_noop_when_fully_covered():
+    """With generous caps (everything covered) the LOD-clamp cascade must be
+    a bit-exact no-op — sel is empty, taps resolve from the primary cover."""
+    rng = np.random.default_rng(5)
+    atlas = _build_atlas(rng, [(32, 16, False), (16, 16, True)])
+    h, w = 24, 128
+    tex, u, v, lod, active = _random_case(rng, h, w, 2, uv_scale=1.0,
+                                          lod_max=2.0)
+    outs = {}
+    for casc in (False, True):
+        outs[casc] = texcache.sample_atlas_tiled(
+            atlas, tex, u, v, lod, active, tile_h=24, tile_w=128,
+            interpret=True, cascade=casc,
+        )
+    for a, b, name in zip(outs[False], outs[True],
+                          ("rgba", "covered", "approx")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    assert not np.asarray(outs[True][2]).any()
+
+
+def test_cascade_blur_beats_average_color_on_overflow():
+    """Starve the page cover (tiny caps): overflow taps must resolve closer
+    to the true trilinear value through the mip+3 cascade than through the
+    coarsest-mip average — and stay counted in `approx` (honesty)."""
+    rng = np.random.default_rng(9)
+
+    class _GradientTexture(_StubTexture):
+        """Spatially-structured content (the stub's default random-noise
+        mips would make mip+3 ~= the average color, hiding the cascade)."""
+
+        def __init__(self, w, h):
+            self.format = ETextureFormat.R8G8B8A8_UNORM
+            self.mips = []
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            img = np.stack([xx * 255 // max(w - 1, 1),
+                            yy * 255 // max(h - 1, 1),
+                            (xx + yy) * 255 // max(w + h - 2, 1),
+                            np.full_like(xx, 255)], -1).astype(np.uint8)
+            while True:
+                self.mips.append(img)
+                if img.shape[0] == 1 and img.shape[1] == 1:
+                    break
+                hh, ww = max(img.shape[0] // 2, 1), max(img.shape[1] // 2, 1)
+                img = img[:hh * 2, :ww * 2].reshape(
+                    hh, 2, ww, 2, 4).mean((1, 3)).astype(np.uint8)
+            self.mip_levels = len(self.mips)
+
+    builder = scene_pack._AtlasBuilder()
+    builder.add(_GradientTexture(128, 128))
+    a = builder.build()
+    atlas = gbuffer.AtlasDevice(
+        jnp.asarray(a.data), jnp.asarray(a.page_base),
+        jnp.asarray(a.base_size), jnp.asarray(a.n_mips), jnp.asarray(a.srgb),
+    )
+    h, w = 24, 128
+    # incoherent uv: every pixel lands on a different page at mip 0
+    tex = jnp.zeros((h, w, 5), jnp.int32)
+    u = jnp.asarray(rng.random((h, w), np.float32))
+    v = jnp.asarray(rng.random((h, w), np.float32))
+    lod = jnp.zeros((h, w, 5), jnp.float32)
+    active = jnp.ones((h, w, 5), bool)
+    kw = dict(tile_h=24, tile_w=128, cap_lo=4, cap_hi=4, block_cap=4,
+              interpret=True)
+    truth = np.asarray(gbuffer.sample_atlas_raw(
+        atlas, tex, u[..., None], v[..., None], lod))
+    out_nc = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, cascade=False, **kw)
+    out_c = texcache.sample_atlas_tiled(
+        atlas, tex, u, v, lod, active, cascade=True, **kw)
+    approx_nc = np.asarray(out_nc[2])
+    approx_c = np.asarray(out_c[2])
+    np.testing.assert_array_equal(approx_nc, approx_c)  # honesty unchanged
+    assert approx_c.mean() > 0.5  # the starved cover really overflowed
+    err_nc = np.abs(np.asarray(out_nc[0]) - truth)[approx_nc].mean()
+    err_c = np.abs(np.asarray(out_c[0]) - truth)[approx_c].mean()
+    assert err_c < err_nc * 0.7, (err_c, err_nc)
+    # covered taps identical on both paths
+    cov = np.asarray(out_c[1])
+    np.testing.assert_array_equal(np.asarray(out_nc[0])[cov],
+                                  np.asarray(out_c[0])[cov])
+
+
 def test_tap_census_recommend_covers():
     """Caps sized by the census (headroom 1.0) must fully cover the same
     frame: zero approx taps at the recommended caps, and >0 approx taps one
