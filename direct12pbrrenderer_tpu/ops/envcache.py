@@ -232,6 +232,62 @@ def _tap_addresses_clamp(base_w, base_h, page_base, mip, u, v):
 
 
 # --------------------------------------------------------------- kernel ----
+def _resolve_env_group(off_ref, cnt_ref, tbl_ref, rec, fx, fy, t, g, *,
+                       blocks):
+    """Resolve ONE group of f32 quad taps against the staged pages:
+    chunked take_along_axis sweeps over the group's [base, base+cnt) page
+    rows, then the bilinear blend. Shared by the plain resolve kernel and
+    the fused deferred-shading kernel (ops/shade_pallas.py).
+
+    rec/fx/fy: (blocks, 128) for this group; returns (4, blocks, 128) f32."""
+    base = off_ref[t, g]
+    seg = rec >> 7
+    lane = rec & 127
+    lane_b = jnp.broadcast_to(
+        lane[None], (SEG_CHUNK * REC_I32, blocks, 128)
+    ).reshape(SEG_CHUNK * REC_I32 * blocks, 128)
+
+    def chunk_body(c, quad, base=base, seg=seg, lane_b=lane_b):
+        rows = tbl_ref[
+            0, pl.ds(pl.multiple_of(
+                base * REC_I32 + c * (SEG_CHUNK * REC_I32),
+                SEG_CHUNK * REC_I32), SEG_CHUNK * REC_I32)
+        ]                                          # (CHUNK*8, 128)
+        x = jnp.broadcast_to(
+            rows[:, None, :], (SEG_CHUNK * REC_I32, blocks, 128)
+        ).reshape(SEG_CHUNK * REC_I32 * blocks, 128)
+        gat = jnp.take_along_axis(x, lane_b, axis=1)
+        gat = gat.reshape(SEG_CHUNK, REC_I32, blocks, 128)
+        sel = jnp.zeros((REC_I32, blocks, 128), jnp.int32)
+        local = seg - c * SEG_CHUNK
+        for sg in range(SEG_CHUNK):
+            sel = jnp.where((local == sg)[None], gat[sg], sel)
+        hit = (local >= 0) & (local < SEG_CHUNK)
+        return jnp.where(hit[None], sel, quad)
+
+    n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
+    packed = jax.lax.fori_loop(
+        0, n_chunks, chunk_body,
+        jnp.zeros((REC_I32, blocks, 128), jnp.int32),
+    )
+
+    def val(v):  # bf16 half v of the packed pairs -> f32
+        k, high = v >> 1, v & 1
+        bits = (packed[k] & ~0xFFFF) if high else (packed[k] << 16)
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+    w00 = (1 - fx) * (1 - fy)
+    w01 = fx * (1 - fy)
+    w10 = (1 - fx) * fy
+    w11 = fx * fy
+    comps = [
+        val(c) * w00 + val(4 + c) * w01
+        + val(8 + c) * w10 + val(12 + c) * w11
+        for c in range(4)
+    ]
+    return jnp.stack(comps, 0)
+
+
 def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
             blocks, n_groups):
     """Resolve G groups of f32 quad taps against staged pages.
@@ -246,103 +302,39 @@ def _kernel(off_ref, cnt_ref, tbl_ref, rec_ref, fx_ref, fy_ref, out_ref, *,
     """
     t = pl.program_id(0)
     for g in range(n_groups):
-        base = off_ref[t, g]
-        rec = rec_ref[0, g]                            # (blocks, 128)
-        seg = rec >> 7
-        lane = rec & 127
-        lane_b = jnp.broadcast_to(
-            lane[None], (SEG_CHUNK * REC_I32, blocks, 128)
-        ).reshape(SEG_CHUNK * REC_I32 * blocks, 128)
-
-        def chunk_body(c, quad, base=base, seg=seg, lane_b=lane_b):
-            rows = tbl_ref[
-                0, pl.ds(pl.multiple_of(
-                    base * REC_I32 + c * (SEG_CHUNK * REC_I32),
-                    SEG_CHUNK * REC_I32), SEG_CHUNK * REC_I32)
-            ]                                          # (CHUNK*8, 128)
-            x = jnp.broadcast_to(
-                rows[:, None, :], (SEG_CHUNK * REC_I32, blocks, 128)
-            ).reshape(SEG_CHUNK * REC_I32 * blocks, 128)
-            gat = jnp.take_along_axis(x, lane_b, axis=1)
-            gat = gat.reshape(SEG_CHUNK, REC_I32, blocks, 128)
-            sel = jnp.zeros((REC_I32, blocks, 128), jnp.int32)
-            local = seg - c * SEG_CHUNK
-            for sg in range(SEG_CHUNK):
-                sel = jnp.where((local == sg)[None], gat[sg], sel)
-            hit = (local >= 0) & (local < SEG_CHUNK)
-            return jnp.where(hit[None], sel, quad)
-
-        n_chunks = (cnt_ref[t, g] + SEG_CHUNK - 1) // SEG_CHUNK
-        packed = jax.lax.fori_loop(
-            0, n_chunks, chunk_body,
-            jnp.zeros((REC_I32, blocks, 128), jnp.int32),
+        out_ref[0, g] = _resolve_env_group(
+            off_ref, cnt_ref, tbl_ref, rec_ref[0, g], fx_ref[0, g],
+            fy_ref[0, g], t, g, blocks=blocks,
         )
-
-        def val(v):  # bf16 half v of the packed pairs -> f32
-            k, high = v >> 1, v & 1
-            bits = (packed[k] & ~0xFFFF) if high else (packed[k] << 16)
-            return jax.lax.bitcast_convert_type(bits, jnp.float32)
-
-        fx = fx_ref[0, g]
-        fy = fy_ref[0, g]
-        w00 = (1 - fx) * (1 - fy)
-        w01 = fx * (1 - fy)
-        w10 = (1 - fx) * fy
-        w11 = fx * fy
-        comps = [
-            val(c) * w00 + val(4 + c) * w01
-            + val(8 + c) * w10 + val(12 + c) * w11
-            for c in range(4)
-        ]
-        out_ref[0, g] = jnp.stack(comps, 0)
 
 
 # ----------------------------------------------------------------- api -----
-@functools.partial(
-    jax.jit,
-    static_argnames=("fb_tids", "share", "tile_h", "tile_w", "cap",
-                     "block_cap", "interpret", "stage_budget"),
-)
-def sample_env_tiled(
+def plan_env_tiled(
     atlas: FloatAtlas,
-    tex,        # (H, W, G) int32
-    mip,        # (H, W, G) int32 (pre-clamped by the caller)
-    u,          # (H, W, G)
-    v,          # (H, W, G)
-    active,     # (H, W, G) bool
-    fb_tids: tuple = (),  # per group: STATIC tuple of texture ids the group
-                          # can touch (<= CAP_FB) — their one-page coarse
-                          # fallback mips are always staged, so every tap
-                          # resolves with zero fallback-cover work
-    share: tuple = (),   # tuples of group indices sharing a covered mask
-    tile_h: int = 24,
-    tile_w: int = 128,
-    cap: int | tuple = 28,   # per-group page budgets (int = uniform)
-    block_cap: int | None = 8,
-    interpret: bool = False,
-    stage_budget: int | None = None,
+    tex_t,      # (tiles, G, blocks, 128) int32
+    mip_t,      # (tiles, G, blocks, 128) int32 (pre-clamped by the caller)
+    u_t,        # (tiles, G, blocks, 128) f32
+    v_t,        # (tiles, G, blocks, 128) f32
+    act_t,      # (tiles, G, blocks, 128) bool
+    *,
+    fb_tids: tuple,
+    share: tuple,
+    caps: tuple,
+    block_cap: int | None,
+    stage_budget: int | None,
+    interpret: bool,
 ):
-    """Batched clamp-quad sampling of G tap groups through per-tile page
-    covers. Returns (rgba (H, W, G, 4), covered (H, W, G), approx (H, W, G)).
+    """The env cache's per-frame PLAN on tiled tap stacks: addressing, page
+    covers, guaranteed fallbacks, and the compact staged-page block — the
+    float sibling of texcache._plan_and_stage. Shared by `sample_env_tiled`
+    (which tiles (H, W, G) images first) and the fused deferred-shading path
+    (ops/shade_pallas.py, which computes the tap stacks in tiled layout
+    directly from the G-buffer tile blocks and never materializes (H, W)).
 
-    `covered` taps are exact (bit-equal to the XLA samplers); `approx` taps
-    overflowed the page budget and resolved as a bilinear tap on the
-    texture's one-page coarse fallback mip.
-    Groups listed together in `share` (trilinear mip halves) AND their
-    covered masks: a tap is never a blend of exact and fallback halves.
-
-    Staging is demand-shaped (texcache's compact layout): each group's
-    [fb(CAP_FB)|cover(count)] block packs at a dynamic SEG_CHUNK-aligned
-    offset under the per-tile page budget `stage_budget` (None = worst case,
-    sum of the group caps). Offsets ride scalar prefetch; a group whose span
-    no longer fits is truncated — its over-slot taps degrade to the
-    directional coarse-fallback page and count in `approx`, never garbage."""
-    height, width, g = u.shape
-    p = tile_h * tile_w
-    blocks = -(-p // 128)
-    blocks += (-blocks) % 8
-    n_tiles = (height // tile_h) * (width // tile_w)
-    caps = cap if isinstance(cap, tuple) else (cap,) * g
+    Returns (off_arr (tiles, G), cnts (tiles, G), staged (tiles, B*8, 128)
+    i32, rec_t/fx_t/fy_t (tiles, G, blocks, 128), covered_t (tiles, G,
+    blocks, 128) bool)."""
+    n_tiles, g, blocks, _ = tex_t.shape
     assert len(caps) == g
     assert len(fb_tids) == g
     assert all(0 < len(t) <= CAP_FB for t in fb_tids)
@@ -351,14 +343,9 @@ def sample_env_tiled(
     from .texcache import select_mip
 
     table = fused_table(atlas)
-    row = onehot_lookup(table, tex)                    # (H, W, G, 3+MAX_MIPS)
+    row = onehot_lookup(table, tex_t)            # (tiles, G, b, 128, 5+MIPS)
     base_w = row[..., 0].astype(jnp.int32)
     base_h = row[..., 1].astype(jnp.int32)
-
-    def tile_g(x):  # (H, W, G) -> (tiles, G, blocks, 128)
-        return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
-
-    act_t = tile_g(active)
 
     # guaranteed fallback: a bilinear tap on the texture's one-page coarse
     # mip at the SAME uv (directional, unlike a flat average). Each group's
@@ -367,16 +354,16 @@ def sample_env_tiled(
     # a handful of compares — no cover extraction at all.
     _, fintra, ffx, ffy = _tap_addresses_clamp(
         row[..., 3].astype(jnp.int32), row[..., 4].astype(jnp.int32),
-        row[..., 2].astype(jnp.int32), jnp.zeros_like(mip), u, v,
+        row[..., 2].astype(jnp.int32), jnp.zeros_like(mip_t), u_t, v_t,
     )
-    fb_slot = jnp.zeros_like(tex)
+    fb_slot = jnp.zeros_like(tex_t)
     for i, tids in enumerate(fb_tids):
-        s_i = jnp.zeros(tex.shape[:-1], jnp.int32)
+        s_i = jnp.zeros(tex_t.shape[:1] + tex_t.shape[2:], jnp.int32)
         for j, tid in enumerate(tids):
-            s_i = jnp.where(tex[..., i] == tid, j, s_i)
-        fb_slot = fb_slot.at[..., i].set(s_i)
-    fb_rec_t = tile_g(fb_slot) * 128 + tile_g(fintra)
-    fb_fx_t, fb_fy_t = tile_g(ffx), tile_g(ffy)
+            s_i = jnp.where(tex_t[:, i] == tid, j, s_i)
+        fb_slot = fb_slot.at[:, i].set(s_i)
+    fb_rec_t = fb_slot * 128 + fintra
+    fb_fx_t, fb_fy_t = ffx, ffy
     # (tiles-invariant) fallback page rows per group, padded to CAP_FB
     fb_rows = [
         jnp.broadcast_to(
@@ -388,7 +375,7 @@ def sample_env_tiled(
     ]
 
     page, intra, fx, fy = _tap_addresses_clamp(
-        base_w, base_h, select_mip(row[..., 5:], mip), mip, u, v
+        base_w, base_h, select_mip(row[..., 5:], mip_t), mip_t, u_t, v_t
     )
     if block_cap is None:
         assert len(set(caps)) == 1, "per-group caps need block_cap"
@@ -396,7 +383,7 @@ def sample_env_tiled(
     else:
         cap_arg = caps
     page_list, count, slot, found = _cover_and_match(
-        tile_g(page), act_t, cap_arg, block_cap=block_cap,
+        page, act_t, cap_arg, block_cap=block_cap,
         kernel=block_cap is not None, interpret=interpret,
     )
 
@@ -442,10 +429,9 @@ def sample_env_tiled(
     # every active tap resolves: covered exactly, or on its fallback page
     # (always staged, by construction)
 
-    rec_t = jnp.where(covered_t, (CAP_FB + slot) * 128 + tile_g(intra),
-                      fb_rec_t)
-    fx_t = jnp.where(covered_t, tile_g(fx), fb_fx_t)
-    fy_t = jnp.where(covered_t, tile_g(fy), fb_fy_t)
+    rec_t = jnp.where(covered_t, (CAP_FB + slot) * 128 + intra, fb_rec_t)
+    fx_t = jnp.where(covered_t, fx, fb_fx_t)
+    fy_t = jnp.where(covered_t, fy, fb_fy_t)
 
     # page table: per group [fallback (CAP_FB) | cover (caps[i])], padded to
     # the widest group, then scattered to its compact offset (truncated rows
@@ -474,6 +460,65 @@ def sample_env_tiled(
     staged = staged.transpose(0, 1, 3, 2).reshape(
         n_tiles, B * REC_I32, PAGE_RECORDS
     )
+    return off_arr, cnts, staged, rec_t, fx_t, fy_t, covered_t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fb_tids", "share", "tile_h", "tile_w", "cap",
+                     "block_cap", "interpret", "stage_budget"),
+)
+def sample_env_tiled(
+    atlas: FloatAtlas,
+    tex,        # (H, W, G) int32
+    mip,        # (H, W, G) int32 (pre-clamped by the caller)
+    u,          # (H, W, G)
+    v,          # (H, W, G)
+    active,     # (H, W, G) bool
+    fb_tids: tuple = (),  # per group: STATIC tuple of texture ids the group
+                          # can touch (<= CAP_FB) — their one-page coarse
+                          # fallback mips are always staged, so every tap
+                          # resolves with zero fallback-cover work
+    share: tuple = (),   # tuples of group indices sharing a covered mask
+    tile_h: int = 24,
+    tile_w: int = 128,
+    cap: int | tuple = 28,   # per-group page budgets (int = uniform)
+    block_cap: int | None = 8,
+    interpret: bool = False,
+    stage_budget: int | None = None,
+):
+    """Batched clamp-quad sampling of G tap groups through per-tile page
+    covers. Returns (rgba (H, W, G, 4), covered (H, W, G), approx (H, W, G)).
+
+    `covered` taps are exact (bit-equal to the XLA samplers); `approx` taps
+    overflowed the page budget and resolved as a bilinear tap on the
+    texture's one-page coarse fallback mip.
+    Groups listed together in `share` (trilinear mip halves) AND their
+    covered masks: a tap is never a blend of exact and fallback halves.
+
+    Staging is demand-shaped (texcache's compact layout): each group's
+    [fb(CAP_FB)|cover(count)] block packs at a dynamic SEG_CHUNK-aligned
+    offset under the per-tile page budget `stage_budget` (None = worst case,
+    sum of the group caps). Offsets ride scalar prefetch; a group whose span
+    no longer fits is truncated — its over-slot taps degrade to the
+    directional coarse-fallback page and count in `approx`, never garbage."""
+    height, width, g = u.shape
+    p = tile_h * tile_w
+    blocks = -(-p // 128)
+    blocks += (-blocks) % 8
+    n_tiles = (height // tile_h) * (width // tile_w)
+    caps = cap if isinstance(cap, tuple) else (cap,) * g
+
+    def tile_g(x):  # (H, W, G) -> (tiles, G, blocks, 128)
+        return _tile(jnp.moveaxis(x, -1, 0), tile_h, tile_w, blocks)
+
+    act_t = tile_g(active)
+    off_arr, cnts, staged, rec_t, fx_t, fy_t, covered_t = plan_env_tiled(
+        atlas, tile_g(tex), tile_g(mip), tile_g(u), tile_g(v), act_t,
+        fb_tids=fb_tids, share=share, caps=caps, block_cap=block_cap,
+        stage_budget=stage_budget, interpret=interpret,
+    )
+    B = staged.shape[1] // REC_I32
 
     kernel = functools.partial(_kernel, blocks=blocks, n_groups=g)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -262,11 +262,17 @@ def gbuffer_shade_fused(tri_id, depth, pl_tiles, id_tiles,
                         texture_filter: str = "trilinear",
                         tex_interpret: bool = False,
                         tex_caps: tuple | None = None,
-                        tex_cascade: bool = False) -> GBuffer:
+                        tex_cascade: bool = False,
+                        return_tiled: bool = False):
     """G-buffer straight from the raster kernel's tile blocks: the plan,
     resolve AND pixel shade run tiled (texcache.shade_planes_fused) — the
     only (H, W)-layout materialization left in the stage is the final
-    9-channel untile. Same math, same order as gbuffer_shade_planar."""
+    9-channel untile. Same math, same order as gbuffer_shade_planar.
+
+    return_tiled=True additionally returns the raw (tiles, 9, blocks, 128)
+    kernel tile blocks as (GBuffer, gb_tiles) — the fused deferred-shading
+    path (ops/shade_pallas.py) consumes those directly, and XLA dead-code-
+    eliminates the GBuffer's (H, W) untiles when nothing reads them."""
     from . import texcache
 
     cap_kw = {}
@@ -276,16 +282,24 @@ def gbuffer_shade_fused(tri_id, depth, pl_tiles, id_tiles,
             cap_kw["stage_budget"] = tex_caps[2]
         if len(tex_caps) > 3 and tex_caps[3] is not None:
             cap_kw["block_cap"] = tex_caps[3]
-    gb9, approx_count = texcache.shade_planes_fused(
+    out = texcache.shade_planes_fused(
         atlas, pl_tiles, id_tiles, height, width, tile_h, tile_w,
         filter=texture_filter, interpret=tex_interpret,
-        cascade=tex_cascade, **cap_kw,
+        cascade=tex_cascade, return_tiled=return_tiled, **cap_kw,
     )
     mask = tri_id >= 0
+    if return_tiled:
+        gb_tiles, approx_count = out
+        from .texcache import _untile
+
+        gb9 = _untile(gb_tiles, height, width, tile_h, tile_w)
+    else:
+        gb9, approx_count = out
     gb_a = jnp.moveaxis(gb9[0:4], 0, -1)
     gb_b = jnp.moveaxis(gb9[4:6], 0, -1)
     gb_c = jnp.moveaxis(gb9[6:9], 0, -1)
-    return GBuffer(gb_a, gb_b, gb_c, depth, mask, approx_count)
+    gb = GBuffer(gb_a, gb_b, gb_c, depth, mask, approx_count)
+    return (gb, gb_tiles) if return_tiled else gb
 
 
 def gbuffer_shade_planar(tri_id, depth, planes, atlas: AtlasDevice,

@@ -292,9 +292,10 @@ def rasterize_interp_pallas(
     FMA re-association (see _kernel_interp_body).
 
     With return_tiled=True, returns (tri_id, z, pl_tiles (tiles, p, 24),
-    id_tiles (tiles, p, 1)) instead — the kernel's raw tile blocks, which
-    the fused G-buffer path (texcache.shade_planes_fused) consumes without
-    ever untiling the planes to an (H, W) layout.
+    id_tiles (tiles, p, 1), z_tiles (tiles, p, 1)) instead — the kernel's
+    raw tile blocks, which the fused G-buffer path
+    (texcache.shade_planes_fused) and the fused deferred-shading path
+    (ops/shade_pallas.py) consume without ever untiling to (H, W).
 
     Mirrors gbuffer.hlsl ps_main attribute interpolation (:89-104) done by
     fixed-function hardware on the reference; here it rides the raster fold's
@@ -419,7 +420,7 @@ def rasterize_interp_pallas(
     id_img = untile(id_tiles)
     z_img = jnp.where(jnp.isinf(z_img), 1.0, z_img)
     if return_tiled:
-        return id_img, z_img, pl_tiles, id_tiles
+        return id_img, z_img, pl_tiles, id_tiles, z_tiles
     planes = untile(pl_tiles, 24)
     return id_img, z_img, planes
 

@@ -1421,7 +1421,8 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
     jax.jit,
     static_argnames=("height", "width", "tile_h", "tile_w", "filter",
                      "cap_lo", "cap_hi", "block_cap", "interpret",
-                     "stage_budget", "cascade", "cascade_caps"),
+                     "stage_budget", "cascade", "cascade_caps",
+                     "return_tiled"),
 )
 def shade_planes_fused(
     atlas: gbuffer.AtlasDevice,
@@ -1439,6 +1440,7 @@ def shade_planes_fused(
     stage_budget: int | None = None,
     cascade: bool = False,
     cascade_caps: tuple = (20, 8),
+    return_tiled: bool = False,
 ):
     """The fused G-buffer back half: raster plane blocks -> final quantized
     G-buffer planes, never materializing an (H, W) layout in between.
@@ -1452,7 +1454,10 @@ def shade_planes_fused(
     bit-equal to the XLA sampler.
 
     Returns (gb9 (9, H, W) f32 [albedo(3), emission, oct(2), roughness,
-    metallic, ao], approx_count () int32)."""
+    metallic, ao], approx_count () int32); with return_tiled=True, returns
+    (gb_tiles (tiles, 9, blocks, 128), approx_count) — the raw kernel tile
+    blocks, which the fused deferred-shading path (ops/shade_pallas.py)
+    consumes without untiling."""
     trilinear = filter != "bilinear"
     n_tiles, p, _ = pl_tiles.shape
     blocks0 = p // 128
@@ -1564,10 +1569,12 @@ def shade_planes_fused(
         interpret=interpret,
     )(*args)
 
-    gb9 = _untile(gb_tiles, height, width, tile_h, tile_w)  # (9, H, W)
     approx_count = (
         pad_b(act_t) & ~covered_t
     ).sum(dtype=jnp.int32)
+    if return_tiled:
+        return gb_tiles[:, :, :blocks0], approx_count
+    gb9 = _untile(gb_tiles, height, width, tile_h, tile_w)  # (9, H, W)
     return gb9, approx_count
 
 

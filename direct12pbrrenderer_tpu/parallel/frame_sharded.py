@@ -78,6 +78,12 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
     )
     if band_tile is None:
         env_ids = None
+    # the fused deferred back half follows the pipeline's own gate (<=64
+    # lights, no light-tile kernel), band-gated on env content like the rest
+    use_fused_deferred = (
+        use_fused and getattr(pipe, "use_fused_deferred", False)
+        and env_ids is not None
+    )
 
     def band_render(
         buffers, model_mats, normal_mats, instance_bounds, light_bounds,
@@ -109,17 +115,23 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
             setup, rw, band_rh, tile_h, tile_w, bin_cap, y_offset=y0
         )
         if use_fused:
-            tri_id, depth, pl_tiles, id_tiles = stages.rasterize_interp(
+            (tri_id, depth, pl_tiles, id_tiles,
+             z_tiles) = stages.rasterize_interp(
                 setup, bins, buffers, vattrs, rw, band_rh, tile_h, tile_w,
                 y_offset=y0, pallas_interpret=pipe.pallas_interpret,
                 return_tiled=True, raster_caps=pipe.raster_caps,
             )
-            gb = gbuffer.gbuffer_shade_fused(
+            out_gb = gbuffer.gbuffer_shade_fused(
                 tri_id, depth, pl_tiles, id_tiles, buffers["atlas"],
                 band_rh, rw, tile_h, tile_w, pipe.texture_filter,
                 tex_interpret=pipe.pallas_interpret,
                 tex_caps=pipe.tex_caps, tex_cascade=pipe.tex_cascade,
+                return_tiled=use_fused_deferred,
             )
+            if use_fused_deferred:
+                gb, gb_tiles = out_gb
+            else:
+                gb = out_gb
         elif pipe.use_pallas:
             tri_id, depth, planes = stages.rasterize_interp(
                 setup, bins, buffers, vattrs, rw, band_rh, tile_h, tile_w,
@@ -147,15 +159,26 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
         active = stages.active_lights(
             buffers, light_valid, view, pipe.max_active_lights
         )
-        rt_band = stages.deferred_shade(
-            gb, buffers, active, inv_view, camera_pos, cfg, rw, band_rh,
-            y_offset=y0, full_height=h, full_width=w,
-            env_ids=env_ids,
-            env_tile=band_tile if env_ids is not None else None,
-            env_interpret=pipe.pallas_interpret,
-            env_budget=pipe.env_budget,
-            light_tile=pipe.light_tile, light_cap=pipe.light_cap,
-        )
+        if use_fused_deferred:
+            # the round-4 fully-fused back half, per band: the kernel's pixel
+            # coordinates ride y_offset/full_height exactly like the XLA path
+            rt_band, _env_approx = stages.deferred_shade_fused(
+                gb_tiles, z_tiles, id_tiles, buffers, active, inv_view,
+                camera_pos, cfg, rw, band_rh, tile_h, tile_w, env_ids,
+                y_offset=y0, full_height=h, full_width=w,
+                env_budget=pipe.env_budget,
+                env_interpret=pipe.pallas_interpret,
+            )
+        else:
+            rt_band = stages.deferred_shade(
+                gb, buffers, active, inv_view, camera_pos, cfg, rw, band_rh,
+                y_offset=y0, full_height=h, full_width=w,
+                env_ids=env_ids,
+                env_tile=band_tile if env_ids is not None else None,
+                env_interpret=pipe.pallas_interpret,
+                env_budget=pipe.env_budget,
+                light_tile=pipe.light_tile, light_cap=pipe.light_cap,
+            )
         rt_band = rt_band[:band_h, :w]  # crop the band's pad-to-tile canvas
         if not collect_stats:
             return rt_band

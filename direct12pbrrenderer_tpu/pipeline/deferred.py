@@ -186,6 +186,17 @@ class DeferredRenderPipeline:
 
         self.use_env_kernel = self.use_tex_kernel
         self.env_ids = None
+        # Fused deferred shading (round-4): env resolve + SH + split-sum +
+        # the clustered point-light loop + sky run in ONE Pallas kernel on
+        # the G-buffer tile blocks (ops/shade_pallas.py). The in-kernel
+        # light loop is a serial fori over the compacted active lights, so
+        # it serves the <=64-light regime; the 1024-light operating point
+        # keeps the O(lights-per-tile) lights_pallas path (light_tile set).
+        self.use_fused_deferred = (
+            self.use_fused_gbuffer
+            and self.light_tile is None
+            and tile_h * tile_w <= 4096
+        )
         if self.use_env_kernel:
             b = _envcache.FloatAtlasBuilder()
             pf_np = [np.asarray(m) for m in self.prefiltered_mip_faces]
@@ -201,6 +212,9 @@ class DeferredRenderPipeline:
             )
             self.env_ids = (env_base, sky_base, lut_tid, len(pf_np), has_env)
             self.env_tile = _envcache.pick_tile(self.render_h, self.render_w)
+        self.use_fused_deferred = (
+            self.use_fused_deferred and self.env_ids is not None
+        )
 
         self.cluster_bounds = jnp.asarray(
             clustered.cluster_bounds(cfg.fov, cfg.ratio, cfg.near, cfg.far)
@@ -322,25 +336,37 @@ class DeferredRenderPipeline:
                 # resolve + shade directly (texcache.shade_planes_fused) —
                 # the stage's only (H, W) materializations are tri_id/depth
                 # and the final 9-channel G-buffer untile
-                tri_id, depth, pl_tiles, id_tiles = stages.rasterize_interp(
+                (tri_id, depth, pl_tiles, id_tiles,
+                 z_tiles) = stages.rasterize_interp(
                     setup, bins, env, vattrs, rw, rh, self.tile_h, self.tile_w,
                     pallas_interpret=self.pallas_interpret, return_tiled=True,
                     raster_caps=self.raster_caps,
                 )
-                gb = gbuffer.gbuffer_shade_fused(
+                out = gbuffer.gbuffer_shade_fused(
                     tri_id, depth, pl_tiles, id_tiles, env["atlas"],
                     rh, rw, self.tile_h, self.tile_w, self.texture_filter,
                     tex_interpret=self.pallas_interpret,
                     tex_caps=self.tex_caps, tex_cascade=self.tex_cascade,
+                    return_tiled=self.use_fused_deferred,
                 )
-                return {
+                result = {}
+                if self.use_fused_deferred:
+                    # hand the raw tile blocks straight to the fused deferred
+                    # kernel; the GBufferA/B/C untiles below become XLA dead
+                    # code when only GBufferTiles is read downstream
+                    gb, gb_tiles = out
+                    result["GBufferTiles"] = (gb_tiles, z_tiles, id_tiles)
+                else:
+                    gb = out
+                result.update({
                     "GBufferA": gb.albedo_emission,
                     "GBufferB": gb.normal_oct,
                     "GBufferC": gb.rough_metal_ao,
                     "GBufferDepthStencil": (gb.depth, gb.mask),
                     "BinCounts": bins.counts,
                     "TexApproxCount": gb.tex_approx,
-                }
+                })
+                return result
             if self.use_pallas:
                 # fused raster + attribute interpolation: the winning row is
                 # selected inside the depth fold (VMEM), removing the
@@ -395,6 +421,24 @@ class DeferredRenderPipeline:
         def deferred_pass(env):
             depth, mask = env["GBufferDepthStencil"]
             _bounds_t, active = env["FrustumCluster"]
+            if self.use_fused_deferred:
+                # round-4 fully-fused back half: env resolve + SH diffuse +
+                # split-sum + in-kernel clustered point lights + sky in ONE
+                # Pallas kernel on the G-buffer tile blocks
+                gb_tiles, z_tiles, id_tiles = env["GBufferTiles"]
+                rt, env_approx = stages.deferred_shade_fused(
+                    gb_tiles, z_tiles, id_tiles, env, active,
+                    env["InvView"], env["CameraPos"], cfg, rw, rh,
+                    self.tile_h, self.tile_w, self.env_ids,
+                    full_height=h, full_width=w,
+                    env_budget=self.env_budget,
+                    env_interpret=self.pallas_interpret,
+                )
+                if (rw, rh) != (w, h):
+                    rt = rt[:h, :w]
+                return {"DeferredShadingRT": rt,
+                        "LightTruncCount": jnp.zeros((), jnp.int32),
+                        "EnvApproxCount": env_approx}
             gb = gbuffer.GBuffer(
                 env["GBufferA"], env["GBufferB"], env["GBufferC"], depth, mask
             )
@@ -484,7 +528,8 @@ class DeferredRenderPipeline:
                  "mat_rows", "atlas", "ModelMats", "NormalMats",
                  "ViewProj", "InstanceVisible"),
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
-                 "BinCounts", "TexApproxCount"),
+                 "BinCounts", "TexApproxCount")
+                + (("GBufferTiles",) if self.use_fused_deferred else ()),
                 gbuffer_pass,
                 declares={
                     "GBufferA": fg.ResourceDesc((rh, rw, 4), "float32"),
@@ -497,7 +542,8 @@ class DeferredRenderPipeline:
                 ("GBufferA", "GBufferB", "GBufferC", "GBufferDepthStencil",
                  "SkyBoxSH", "PrecomputeBRDF", "PrefilterEnvMap", "SkyBoxTexture",
                  "FrustumCluster", "InvView", "CameraPos")
-                + (("EnvCache",) if self.env_ids is not None else ()),
+                + (("EnvCache",) if self.env_ids is not None else ())
+                + (("GBufferTiles",) if self.use_fused_deferred else ()),
                 ("DeferredShadingRT", "LightTruncCount", "EnvApproxCount"),
                 deferred_pass,
                 declares={

@@ -100,8 +100,9 @@ def rasterize_interp(setup, bins, buffers, vattrs, width: int, band_h: int,
     re-association) — the winning row rides the depth fold's VMEM state
     instead of a per-pixel 256 B HBM gather (docs/PERF.md round-3).
 
-    return_tiled=True yields (tri_id, depth, pl_tiles, id_tiles) raw tile
-    blocks for the fused G-buffer path (gbuffer.gbuffer_shade_fused)."""
+    return_tiled=True yields (tri_id, depth, pl_tiles, id_tiles, z_tiles)
+    raw tile blocks for the fused G-buffer path
+    (gbuffer.gbuffer_shade_fused) + fused deferred (deferred_shade_fused)."""
     rows64 = pack_rows64(setup, buffers, vattrs)
     cs, hk = raster_caps if raster_caps is not None else (None, None)
     return raster_pallas.rasterize_interp_pallas(
@@ -137,6 +138,31 @@ def active_lights(buffers, light_valid, view, max_active: int):
         buffers["light_pos"], buffers["light_color"],
         buffers["light_intensity"], buffers["light_attenuation"],
         light_valid, view, max_active,
+    )
+
+
+def deferred_shade_fused(gb_tiles, z_tiles, id_tiles, buffers, active,
+                         inv_view, camera_pos, config, width: int,
+                         band_h: int, tile_h: int, tile_w: int,
+                         env_ids: tuple, y_offset=0,
+                         full_height: int | None = None,
+                         full_width: int | None = None,
+                         env_budget: int | None = None,
+                         env_interpret: bool = False):
+    """Fused deferred shading straight from the G-buffer tile blocks (env
+    resolve + SH + split-sum + in-kernel clustered lights + sky in ONE
+    Pallas kernel — ops/shade_pallas.py). Serves the <=64-active-light
+    regime; the 1024-light path stays on deferred_shade + lights_pallas.
+    Returns ((band_h, width, 3) HDR RT, env_approx_count)."""
+    from ..ops import shade_pallas
+
+    return shade_pallas.deferred_shade_fused(
+        gb_tiles, z_tiles, id_tiles, buffers["SkyBoxSH"],
+        buffers["EnvCache"], active, inv_view, camera_pos, env_ids,
+        config.fov, config.ratio, config.near, config.far,
+        width, band_h, tile_h, tile_w, y_offset=y_offset,
+        full_height=full_height, full_width=full_width,
+        env_budget=env_budget, interpret=env_interpret,
     )
 
 

@@ -105,7 +105,7 @@ def profile_pipeline(pipe, camera, iters: int = 5):
             pallas_interpret=pipe.pallas_interpret, return_tiled=True,
             raster_caps=pipe.raster_caps,
         )
-        tri_id, depth, pl_tiles, id_tiles = run(
+        tri_id, depth, pl_tiles, id_tiles, z_tiles = run(
             "raster", rastf, setup, bins, buffers, vattrs
         )
         gbf = lambda t, d, plt, idt, b: gbuffer_ops.gbuffer_shade_fused(

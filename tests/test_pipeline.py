@@ -216,6 +216,36 @@ def test_fused_gbuffer_matches_planar_pipeline(camera):
     assert fused.last_stats.tex_approx_taps == planar.last_stats.tex_approx_taps
 
 
+def test_fused_deferred_matches_unfused_pipeline(camera):
+    """The round-4 fused deferred-shading path (env resolve + SH + split-sum
+    + in-kernel clustered lights + sky in ONE Pallas kernel on the G-buffer
+    tile blocks, ops/shade_pallas.py) must reproduce the unfused kernel
+    pipeline at the full-pipeline level (interpret mode). Tolerance is the
+    FMA-re-association bound, not bit-exactness: the kernel evaluates the
+    SH dots / light chains as scalar FMA chains where XLA uses
+    HIGHEST-precision dots."""
+    from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
+
+    mk = lambda: DeferredRenderPipeline(
+        build_scene(), CFG, tile_h=24, tile_w=128, bin_cap=256,
+        prefilter_size=16, brdf_lut_size=32,
+        use_pallas=True, use_tex_kernel=True, pallas_interpret=True,
+    )
+    fused = mk()
+    assert fused.use_fused_deferred
+    unfused = mk()
+    unfused.use_fused_deferred = False
+    unfused.graph = unfused._build_graph()
+    import jax
+
+    unfused._frame_jit = jax.jit(unfused._frame)
+    a = np.asarray(fused.render(camera)).astype(np.float32)
+    b = np.asarray(unfused.render(camera)).astype(np.float32)
+    rmse = float(np.sqrt(np.mean((a - b) ** 2))) / 255.0
+    assert rmse < 1e-3, rmse
+    assert fused.last_stats.env_approx_taps == unfused.last_stats.env_approx_taps
+
+
 def test_tex_approx_stat_surfaced(camera):
     """The cache kernel's fallback counter reaches FrameStats (honesty
     contract: silent degradation is not allowed)."""
