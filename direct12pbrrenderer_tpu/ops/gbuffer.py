@@ -203,6 +203,14 @@ class GBuffer(NamedTuple):
     #   honesty counter, surfaced through FrameStats
 
 
+def _cascade_kw(tex_cascade):
+    """tex_cascade knob: False/True, or a (cap, block_cap, mip_off) tuple
+    that both enables the LOD cascade and sizes it."""
+    if isinstance(tex_cascade, tuple):
+        return {"cascade": True, "cascade_caps": tex_cascade}
+    return {"cascade": bool(tex_cascade)}
+
+
 def _quantize8(x):
     """RGBA8 render-target quantization (round to nearest 1/255)."""
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * (1.0 / 255.0)
@@ -285,7 +293,7 @@ def gbuffer_shade_fused(tri_id, depth, pl_tiles, id_tiles,
     out = texcache.shade_planes_fused(
         atlas, pl_tiles, id_tiles, height, width, tile_h, tile_w,
         filter=texture_filter, interpret=tex_interpret,
-        cascade=tex_cascade, return_tiled=return_tiled, **cap_kw,
+        **_cascade_kw(tex_cascade), return_tiled=return_tiled, **cap_kw,
     )
     mask = tri_id >= 0
     if return_tiled:
@@ -405,7 +413,7 @@ def _shade_from_interp(interp, matrow, mask, depth, atlas: AtlasDevice,
             atlas, tex, uv[..., 0], uv[..., 1], lod5,
             active=use & mask[..., None],
             filter=texture_filter, interpret=tex_interpret,
-            cascade=tex_cascade, **cap_kw,
+            **_cascade_kw(tex_cascade), **cap_kw,
         )  # (H, W, 5, 4)
         approx_count = approx.sum().astype(jnp.int32)
     else:

@@ -1154,7 +1154,7 @@ def sample_atlas_tiled(
     interpret: bool = False,
     stage_budget: int | None = None,
     cascade: bool = False,
-    cascade_caps: tuple = (20, 8),
+    cascade_caps: tuple = (20, 8, 3),
 ):
     """Kernel-path sampling. Returns (rgba (H, W, 5, 4) storage-space,
     covered (H, W, 5) bool, approx (H, W, 5) bool).
@@ -1187,6 +1187,7 @@ def sample_atlas_tiled(
         block_cap=block_cap, stage_budget=stage_budget, interpret=interpret,
         cascade=cascade, cap_casc=cascade_caps[0],
         block_cap_casc=cascade_caps[1],
+        casc_mip=cascade_caps[2] if len(cascade_caps) > 2 else 3,
     )
 
     g = rec_t.shape[1]
@@ -1239,7 +1240,8 @@ def sample_atlas_tiled(
 
 def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
                     cap_lo, cap_hi, block_cap, stage_budget, interpret,
-                    cascade=False, cap_casc=12, block_cap_casc=4):
+                    cascade=False, cap_casc=12, block_cap_casc=4,
+                    casc_mip=3):
     """The texture cache's per-frame PLAN in tiled layout: mip selection,
     tap addressing, page covers, and the compact staged-page block.
 
@@ -1300,7 +1302,10 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
         foundall = halves[0][6]
         for h in halves[1:]:
             foundall = foundall & h[6]
-        mip_c = jnp.minimum(mips[0] + 3, n_mips_t - 1)
+        # casc_mip trades blur for page footprint: +1 halves each dim (~4x
+        # fewer pages; near-trilinear fidelity — the exact tap's hi half),
+        # +3 is 64x fewer pages at a mild blur
+        mip_c = jnp.minimum(mips[0] + casc_mip, n_mips_t - 1)
         page_c, intra_c, fx_c, fy_c = _tap_addresses(
             base_w, base_h, select_mip(pb, mip_c), mip_c, u_t, v_t
         )
@@ -1439,7 +1444,7 @@ def shade_planes_fused(
     interpret: bool = False,
     stage_budget: int | None = None,
     cascade: bool = False,
-    cascade_caps: tuple = (20, 8),
+    cascade_caps: tuple = (20, 8, 3),
     return_tiled: bool = False,
 ):
     """The fused G-buffer back half: raster plane blocks -> final quantized
@@ -1518,6 +1523,7 @@ def shade_planes_fused(
         block_cap=block_cap, stage_budget=stage_budget, interpret=interpret,
         cascade=cascade, cap_casc=cascade_caps[0],
         block_cap_casc=cascade_caps[1],
+        casc_mip=cascade_caps[2] if len(cascade_caps) > 2 else 3,
     )
 
     srgb5 = onehot_lookup(atlas.srgb.astype(jnp.float32)[:, None], tex_t)
@@ -1588,7 +1594,7 @@ def sample_atlas_textured(
     cap_hi: int = 44,
     stage_budget: int | None = None,
     cascade: bool = False,
-    cascade_caps: tuple = (20, 8),
+    cascade_caps: tuple = (20, 8, 3),
 ):
     """Drop-in replacement for gbuffer.sample_atlas_trilinear: exact for
     covered taps (>99.4% at 1080p, typically 100% at test sizes), coarsest-mip

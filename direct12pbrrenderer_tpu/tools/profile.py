@@ -108,13 +108,16 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         tri_id, depth, pl_tiles, id_tiles, z_tiles = run(
             "raster", rastf, setup, bins, buffers, vattrs
         )
+        fused_def = getattr(pipe, "use_fused_deferred", False)
         gbf = lambda t, d, plt, idt, b: gbuffer_ops.gbuffer_shade_fused(
             t, d, plt, idt, b["atlas"], h, w, pipe.tile_h, pipe.tile_w,
             pipe.texture_filter, tex_caps=pipe.tex_caps,
-            tex_cascade=pipe.tex_cascade,
+            tex_cascade=pipe.tex_cascade, return_tiled=fused_def,
         )
         gb = run("gbuffer_shade", gbf, tri_id, depth, pl_tiles, id_tiles,
                  buffers)
+        if fused_def:
+            gb, gb_tiles = gb
     elif pipe.use_pallas:
         # fused raster + interpolation, then planar G-buffer
         from ..ops import gbuffer as gbuffer_ops
@@ -149,12 +152,23 @@ def profile_pipeline(pipe, camera, iters: int = 5):
     active = run("light_cull", lightf, buffers, light_valid, view_j)
 
     env_ids = getattr(pipe, "env_ids", None)
-    defshf = lambda g, b, a, iv, cp: stages.deferred_shade(
-        g, b, a, iv, cp, cfg, w, h,
-        env_ids=env_ids,
-        env_tile=getattr(pipe, "env_tile", None) if env_ids is not None else None,
-    )
-    rt = run("deferred_shade", defshf, gb, buffers, active, inv_view, cam_pos)
+    if getattr(pipe, "use_fused_deferred", False):
+        # the pipeline's actual hot path: one fused kernel from the G-buffer
+        # tile blocks to the HDR RT (env resolve + SH + lights + sky)
+        defshf = lambda gt, zt, it, b, a, iv, cp: stages.deferred_shade_fused(
+            gt, zt, it, b, a, iv, cp, cfg, w, h, pipe.tile_h, pipe.tile_w,
+            pipe.env_ids, env_budget=pipe.env_budget,
+        )[0]
+        rt = run("deferred_shade", defshf, gb_tiles, z_tiles, id_tiles,
+                 buffers, active, inv_view, cam_pos)
+    else:
+        defshf = lambda g, b, a, iv, cp: stages.deferred_shade(
+            g, b, a, iv, cp, cfg, w, h,
+            env_ids=env_ids,
+            env_tile=getattr(pipe, "env_tile", None) if env_ids is not None else None,
+            env_budget=getattr(pipe, "env_budget", None),
+        )
+        rt = run("deferred_shade", defshf, gb, buffers, active, inv_view, cam_pos)
 
     if cfg.enable_bloom:
         rt = run("bloom", bloom_ops.bloom, rt)
