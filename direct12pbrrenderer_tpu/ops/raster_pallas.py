@@ -167,102 +167,128 @@ def _kernel_interp_body(tile, count_in, yoff_ref, rows_ref, z_out, id_out,
     (material columns exactly; interp within ~1e-4). Removes the per-pixel
     256 B tri_rows gather entirely (docs/PERF.md round-3).
 
-    Row layout (pack_interp_raster_rows):
-      [raster 16 (pack_raster_rows) | material 16 | vertex attrs 24 | pad 8]
+    The tile is processed in 8-row BANDS (the VPU sublane height): a chunk
+    whose 128 candidates' y-extents (rows 56/57, packed from setup.aabb by
+    stages.pack_rows64 with the same strict overlap convention as
+    raster.bin_triangles:214) all miss the band is skipped outright. Binning
+    only guarantees tile-level overlap; at the measured p50 bin count of 4
+    most (band, chunk) pairs are empty, so this cuts the fold's dominant
+    (p x CHUNK) candidate-grid work without changing any per-pixel
+    arithmetic (band decomposition is exact — same formulas, same
+    associativity, per pixel).
+
+    Row layout (stages.pack_rows64):
+      [raster 16 (pack_raster_rows) | material 16 | vertex attrs 24 |
+       aabb ymin/ymax 2 | pad 6]
     Output planes (1, 24, p): [interp uv/nrm/tan (8) | material row (16)].
     """
-    p = tile_h * tile_w
+    band_rows = 8 if tile_h % 8 == 0 else tile_h
+    nb = tile_h // band_rows
+    pb = band_rows * tile_w
 
     ox = ((tile % tiles_x) * tile_w).astype(jnp.float32)
     oy = ((tile // tiles_x) * tile_h).astype(jnp.float32) + yoff_ref[0]
 
-    lin = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = (lin % tile_w).astype(jnp.float32) + 0.5 + ox
-    py = (lin // tile_w).astype(jnp.float32) + 0.5 + oy
-
     count = jnp.minimum(count_in, cap)
     n_chunks = (count + CHUNK - 1) // CHUNK
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (pb, 1), 0)
+    px = (lin % tile_w).astype(jnp.float32) + 0.5 + ox
+    py0 = (lin // tile_w).astype(jnp.float32) + 0.5 + oy
 
-    def body(c, carry):
-        zbuf, idbuf, rowbuf = carry  # (p, 1), (p, 1), (p, 64)
-        base = pl.multiple_of(c * CHUNK, 128)
-        chunk = rows_ref[0, :, pl.ds(base, CHUNK)]     # (64, CHUNK)
+    for b in range(nb):
+        band_lo = oy + (b * band_rows)
+        band_hi = band_lo + band_rows
+        py = py0 + float(b * band_rows)
 
-        def col(j):
-            return chunk[j][None, :]                   # (1, CHUNK)
+        def body(c, carry):
+            base = pl.multiple_of(c * CHUNK, 128)
+            # band reject on the candidates' y-extents alone (2 sublanes)
+            ymm = rows_ref[0, 56:58, pl.ds(base, CHUNK)]   # (2, CHUNK)
+            hit = (ymm[0] < band_hi) & (ymm[1] > band_lo)
 
-        s0 = px * col(0) + py * col(1) + col(2)
-        s1 = px * col(3) + py * col(4) + col(5)
-        s2 = px * col(6) + py * col(7) + col(8)
-        inside = jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0
-        den = s0 * col(12) + s1 * col(13) + s2 * col(14)
-        zc = (s0 * col(9) + s1 * col(10) + s2 * col(11)) / jnp.where(
-            den == 0.0, 1.0, den
+            def fold(carry):
+                zbuf, idbuf, rowbuf = carry  # (pb, 1), (pb, 1), (pb, 64)
+                chunk = rows_ref[0, :, pl.ds(base, CHUNK)]  # (64, CHUNK)
+
+                def col(j):
+                    return chunk[j][None, :]               # (1, CHUNK)
+
+                s0 = px * col(0) + py * col(1) + col(2)
+                s1 = px * col(3) + py * col(4) + col(5)
+                s2 = px * col(6) + py * col(7) + col(8)
+                inside = jnp.minimum(jnp.minimum(s0, s1), s2) >= 0.0
+                den = s0 * col(12) + s1 * col(13) + s2 * col(14)
+                zc = (s0 * col(9) + s1 * col(10) + s2 * col(11)) / jnp.where(
+                    den == 0.0, 1.0, den
+                )
+                ok = inside & (den > 0.0) & (zc >= 0.0) & (zc <= 1.0)
+                zc = jnp.where(ok, zc, jnp.inf)
+
+                best = jnp.argmin(zc, axis=1, keepdims=True)  # first min
+                best_z = jnp.min(zc, axis=1, keepdims=True)   # (pb, 1)
+                ids = col(15)
+                sel = jnp.where(best == lane, ids, 0.0).sum(
+                    axis=1, keepdims=True)
+
+                upd = best_z < zbuf
+                onehot = ((best == lane) & upd).astype(jnp.float32)
+                row_sel = jax.lax.dot_general(
+                    onehot, chunk,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                          # (pb, 64) exact
+                zbuf = jnp.where(upd, best_z, zbuf)
+                idbuf = jnp.where(upd, sel.astype(jnp.int32), idbuf)
+                rowbuf = jnp.where(upd, row_sel, rowbuf)
+                return zbuf, idbuf, rowbuf
+
+            return jax.lax.cond(jnp.any(hit), fold, lambda cr: cr, carry)
+
+        init = (
+            jnp.full((pb, 1), jnp.inf, jnp.float32),
+            jnp.full((pb, 1), -1, jnp.int32),
+            jnp.zeros((pb, 64), jnp.float32),
         )
-        ok = inside & (den > 0.0) & (zc >= 0.0) & (zc <= 1.0)
-        zc = jnp.where(ok, zc, jnp.inf)
+        zbuf, idbuf, rowbuf = jax.lax.fori_loop(0, n_chunks, body, init)
+        z_out[0, pl.ds(b * pb, pb), :] = zbuf
+        id_out[0, pl.ds(b * pb, pb), :] = idbuf
 
-        best = jnp.argmin(zc, axis=1, keepdims=True)   # (p, 1), first min
-        best_z = jnp.min(zc, axis=1, keepdims=True)    # (p, 1)
-        ids = col(15)
-        sel = jnp.where(best == lane, ids, 0.0).sum(axis=1, keepdims=True)
-
-        upd = best_z < zbuf
-        onehot = ((best == lane) & upd).astype(jnp.float32)   # (p, CHUNK)
-        row_sel = jax.lax.dot_general(
-            onehot, chunk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                              # (p, 64) exact select
-        zbuf = jnp.where(upd, best_z, zbuf)
-        idbuf = jnp.where(upd, sel.astype(jnp.int32), idbuf)
-        rowbuf = jnp.where(upd, row_sel, rowbuf)
-        return zbuf, idbuf, rowbuf
-
-    init = (
-        jnp.full((p, 1), jnp.inf, jnp.float32),
-        jnp.full((p, 1), -1, jnp.int32),
-        jnp.zeros((p, 64), jnp.float32),
-    )
-    zbuf, idbuf, rowbuf = jax.lax.fori_loop(0, n_chunks, body, init)
-    z_out[0, :, :] = zbuf
-    id_out[0, :, :] = idbuf
-
-    # ---- post-fold interpolation, strictly 2-D + tiny MXU contractions ----
-    # (per-column 1-D extractions like rowbuf[:, 3*i] lower to per-vreg
-    # shuffle storms that OOM the Mosaic compiler at any grid size)
-    #
-    # barycentric scores as gbuffer._bary: B_i = e_i . (px, py, 1). Build the
-    # (p, 64) pointwise terms rowbuf * [px|py|1 pattern] once, then contract
-    # with constant 0/1 matrices: srep[:, 8v+k] = B_v, sumrep = sum B (all
-    # columns equal) — exact one/three-addend sums under HIGHEST precision.
-    lane64 = jax.lax.broadcasted_iota(jnp.int32, (p, 64), 1)
-    mod3 = lane64 % 3
-    edge = lane64 < 9
-    pat = jnp.where(mod3 == 0, px, 0.0)
-    pat = jnp.where(mod3 == 1, py, pat)
-    pat = jnp.where(mod3 == 2, 1.0, pat)
-    prod = rowbuf * jnp.where(edge, pat, 0.0)          # (p, 64) B-term grid
-    j24 = jax.lax.broadcasted_iota(jnp.int32, (64, 24), 0)
-    c24 = jax.lax.broadcasted_iota(jnp.int32, (64, 24), 1)
-    sel_s = ((j24 // 3 == c24 // 8) & (j24 < 9)).astype(jnp.float32)
-    sel_sum = (j24 < 9).astype(jnp.float32)
-    dn = (((1,), (0,)), ((), ()))
-    srep = jax.lax.dot_general(
-        prod, sel_s, dn, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)           # (p, 24) B_v per col
-    sumrep = jax.lax.dot_general(
-        prod, sel_sum, dn, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    lamrep = srep / jnp.where(sumrep == 0.0, 1.0, sumrep)
-    wattr = rowbuf[:, 32:56] * lamrep                  # (p, 24) lam_v * a_vk
-    # interp channel k = (w0k + w1k) + w2k — same association as the gather
-    # path's XLA reduce
-    interp8 = (wattr[:, 0:8] + wattr[:, 8:16]) + wattr[:, 16:24]
-    pl_out[0, :, :] = jnp.concatenate(
-        [interp8, rowbuf[:, 16:32]], axis=1)           # (p, 24) one store
+        # ---- post-fold interpolation, strictly 2-D + tiny MXU contractions
+        # (per-column 1-D extractions like rowbuf[:, 3*i] lower to per-vreg
+        # shuffle storms that OOM the Mosaic compiler at any grid size)
+        #
+        # barycentric scores as gbuffer._bary: B_i = e_i . (px, py, 1). Build
+        # the (pb, 64) pointwise terms rowbuf * [px|py|1 pattern] once, then
+        # contract with constant 0/1 matrices: srep[:, 8v+k] = B_v, sumrep =
+        # sum B (all columns equal) — exact one/three-addend sums under
+        # HIGHEST precision.
+        lane64 = jax.lax.broadcasted_iota(jnp.int32, (pb, 64), 1)
+        mod3 = lane64 % 3
+        edge = lane64 < 9
+        pat = jnp.where(mod3 == 0, px, 0.0)
+        pat = jnp.where(mod3 == 1, py, pat)
+        pat = jnp.where(mod3 == 2, 1.0, pat)
+        prod = rowbuf * jnp.where(edge, pat, 0.0)      # (pb, 64) B-term grid
+        j24 = jax.lax.broadcasted_iota(jnp.int32, (64, 24), 0)
+        c24 = jax.lax.broadcasted_iota(jnp.int32, (64, 24), 1)
+        sel_s = ((j24 // 3 == c24 // 8) & (j24 < 9)).astype(jnp.float32)
+        sel_sum = (j24 < 9).astype(jnp.float32)
+        dn = (((1,), (0,)), ((), ()))
+        srep = jax.lax.dot_general(
+            prod, sel_s, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (pb, 24) B_v per col
+        sumrep = jax.lax.dot_general(
+            prod, sel_sum, dn, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        lamrep = srep / jnp.where(sumrep == 0.0, 1.0, sumrep)
+        wattr = rowbuf[:, 32:56] * lamrep              # (pb, 24) lam_v*a_vk
+        # interp channel k = (w0k + w1k) + w2k — same association as the
+        # gather path's XLA reduce
+        interp8 = (wattr[:, 0:8] + wattr[:, 8:16]) + wattr[:, 16:24]
+        pl_out[0, pl.ds(b * pb, pb), :] = jnp.concatenate(
+            [interp8, rowbuf[:, 16:32]], axis=1)       # (pb, 24) one store
 
 
 @functools.partial(
@@ -312,6 +338,8 @@ def rasterize_interp_pallas(
 
     pad_row = (
         jnp.zeros((64,), jnp.float32).at[2].set(-3e38).at[15].set(-1.0)
+        # y-extent poison: padded lanes never pass the per-band chunk reject
+        .at[56].set(3e38).at[57].set(-3e38)
     )
 
     def gather_rows(ids):

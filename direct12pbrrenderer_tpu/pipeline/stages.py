@@ -77,15 +77,20 @@ def rasterize(setup, bins, width: int, band_h: int, tile_h: int, tile_w: int,
 def pack_rows64(setup, buffers, vattrs):
     """The (T, 64) per-triangle row shared by both G-buffer paths:
     [raster row 16 (pack_raster_rows: edges/z/w/id, poisoned when invalid) |
-    ConstantBufferInstance material 16 | vertex attr rows 24 | pad 8] —
-    everything pixel shading needs behind one index. Columns 0:9 are the
-    edge rows gbuffer._bary reads; 9:16 only feed the fused raster kernel."""
+    ConstantBufferInstance material 16 | vertex attr rows 24 |
+    aabb ymin/ymax 2 | pad 6] — everything pixel shading needs behind one
+    index. Columns 0:9 are the edge rows gbuffer._bary reads; 9:16 only feed
+    the fused raster kernel; 56:58 feed its per-band chunk reject (poisoned
+    to never-hit when invalid, matching bin_triangles' valid mask)."""
     t = setup.edges.shape[0]
+    ymin = jnp.where(setup.valid, setup.aabb[:, 1], 3e38)
+    ymax = jnp.where(setup.valid, setup.aabb[:, 3], -3e38)
     return jnp.concatenate(
         [raster_pallas.pack_raster_rows(setup),
          buffers["mat_rows"][buffers["tri_material"]],
          vattrs[buffers["tris"]].reshape(t, 24),
-         jnp.zeros((t, 8), jnp.float32)], axis=1,
+         ymin[:, None], ymax[:, None],
+         jnp.zeros((t, 6), jnp.float32)], axis=1,
     )
 
 

@@ -63,9 +63,14 @@ def _rows64(setup, n_tris, seed=0):
     t = setup.edges.shape[0]
     mat = jnp.asarray(rng.uniform(0, 1, (t, 16)).astype(np.float32))
     vat = jnp.asarray(rng.uniform(-1, 1, (t, 24)).astype(np.float32))
+    # cols 56/57: aabb y-extents for the kernel's per-band chunk reject
+    # (same packing as stages.pack_rows64)
+    ymin = jnp.where(setup.valid, setup.aabb[:, 1], 3e38)
+    ymax = jnp.where(setup.valid, setup.aabb[:, 3], -3e38)
     return jnp.concatenate(
         [raster_pallas.pack_raster_rows(setup), mat, vat,
-         jnp.zeros((t, 8), jnp.float32)], axis=1)
+         ymin[:, None], ymax[:, None],
+         jnp.zeros((t, 6), jnp.float32)], axis=1)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
