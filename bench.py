@@ -114,43 +114,7 @@ def main():
         np.asarray(pipe.render(cam, collect_stats=False))
     np.asarray(pipe.render(cam, collect_stats=False))
 
-    # per-call loop over the SAME yaw animation the sequence dispatch renders
-    # (each frame re-culls, re-bins, re-plans) so the two headline methods
-    # measure the same workload and differ only in dispatch discipline
-    cams = _yaw_path(cam, frames)
-    for c in cams[:2]:  # compile is shared; warm the per-pose upload path
-        pipe.render(c, 1.0 / 60.0, collect_stats=False)
-    t0 = time.perf_counter()
-    img = None
-    for c in cams:
-        img = pipe.render(c, 1.0 / 60.0, collect_stats=False)
-    np.asarray(img)  # sync once at the end (frames pipeline asynchronously)
-    elapsed = time.perf_counter() - t0
-    loop_fps = frames / elapsed
-
-    # Sustained throughput: N frames of a real yaw animation path in ONE
-    # device dispatch (DeferredRenderPipeline.render_sequence — the playback
-    # analog of the reference's frame loop, App.cpp:354-380). On this
-    # remote-attached platform each dispatch pays ~30 ms of RPC enqueue that
-    # does not exist on a locally-attached chip (docs/PERF.md round-3 RPC
-    # decomposition); the sequence path amortizes it to once per batch and
-    # measures what the device itself sustains. Per-call loop fps is
-    # reported alongside.
-    seq_fps = None
-    if not args.smoke:
-        try:
-            np.asarray(pipe.render_sequence(cams))  # compile
-            # the first post-compile dispatch pays a large one-time cost on
-            # this platform (~13 s measured; docs/PERF.md round-3) — warm it
-            # through before timing steady state
-            np.asarray(pipe.render_sequence(cams)[-1])
-            t0 = time.perf_counter()
-            out = pipe.render_sequence(cams)
-            np.asarray(out[-1])
-            seq_fps = frames / (time.perf_counter() - t0)
-        except Exception as e:
-            print(f"bench: render_sequence path failed: {repr(e)[:200]}",
-                  file=sys.stderr)
+    loop_fps, seq_fps = _measure_fps(pipe, cam, frames, smoke=args.smoke)
 
     # headline = the faster of the two real frame-loop APIs over the same
     # yaw path (which wins depends on the attached platform's per-dispatch
@@ -191,6 +155,51 @@ def main():
             result.update(_fidelity_gate(app, pipe, cam))
         except Exception as e:
             result["rmse_error"] = repr(e)[:200]
+        # THE GATE IS BINDING: a failing gate can never coexist with the
+        # reported headline. If the tuned config fails the 1e-3 bar, the
+        # headline re-measures on the known gate-passing configuration
+        # (full block_cap covers) and the tuned numbers move to tuned_* keys.
+        if result.get("rmse_gate") == "FAIL" and fallback is None:
+            from direct12pbrrenderer_tpu.pipeline.deferred import (
+                DeferredRenderPipeline,
+            )
+
+            print("bench: tuned config failed the gate — re-measuring the "
+                  "headline on the gate-safe config", file=sys.stderr)
+            result["tuned_fps"] = result["value"]
+            result["tuned_rmse_vs_xla"] = result["rmse_vs_xla"]
+            app.pipeline = pipe = DeferredRenderPipeline(
+                app.scene, pipe.config, tex_caps=(92, 44, None, 16),
+                env_budget=None, texture_filter=pipe.texture_filter,
+            )
+            np.asarray(pipe.render(cam, collect_stats=False))  # compile
+            loop_fps, seq_fps = _measure_fps(pipe, cam, frames)
+            fps = max(loop_fps, seq_fps) if seq_fps is not None else loop_fps
+            result.update({
+                "value": round(fps, 3),
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "per_call_loop_fps": round(loop_fps, 3),
+                "headline_method": (
+                    "sequence" if seq_fps is not None and seq_fps > loop_fps
+                    else "loop"
+                ),
+                "fidelity_fallback": "block_cap16",
+            })
+            if seq_fps is not None:
+                result["sequence_dispatch_fps"] = round(seq_fps, 3)
+            try:  # honesty stats describe the headline config
+                np.asarray(pipe.render(cam, 1.0 / 60.0, collect_stats=True))
+                st = pipe.last_stats
+                if st is not None:
+                    result["tex_approx_taps"] = int(st.tex_approx_taps)
+                    result["env_approx_taps"] = int(st.env_approx_taps)
+                    result["bin_overflow"] = int(st.bin_overflow)
+            except Exception:
+                pass
+            try:
+                result.update(_fidelity_gate(app, pipe, cam))
+            except Exception as e:
+                result["rmse_error"] = repr(e)[:200]
 
     if not args.smoke and not args.skip_secondary:
         # secondary: the north-star Sponza-CLASS density (262k-triangle
@@ -222,27 +231,78 @@ def main():
     return result
 
 
-def _fidelity_gate(app, pipe, cam, tol: float = 1e-3):
-    """One bench-pose frame: tuned kernel path vs pure-XLA path, RMSE on the
-    normalized uint8 back buffer. Reported in the bench JSON and gated at
-    `tol` (the BASELINE.json fidelity bar) — rmse_gate says pass/FAIL rather
-    than raising so a drift never costs the round its bench numbers."""
+def _measure_fps(pipe, cam, frames: int, smoke: bool = False):
+    """(per-call loop fps, sequence-dispatch fps) over the same yaw path.
+
+    Per-call loop: the SAME yaw animation the sequence dispatch renders
+    (each frame re-culls, re-bins, re-plans) so the two headline methods
+    measure the same workload and differ only in dispatch discipline.
+
+    Sequence: N frames in ONE device dispatch
+    (DeferredRenderPipeline.render_sequence — the playback analog of the
+    reference's frame loop, App.cpp:354-380). On this remote-attached
+    platform each dispatch pays ~30 ms of RPC enqueue that does not exist on
+    a locally-attached chip (docs/PERF.md round-3 RPC decomposition); the
+    sequence path amortizes it to once per batch and measures what the
+    device itself sustains."""
+    cams = _yaw_path(cam, frames)
+    for c in cams[:2]:  # compile is shared; warm the per-pose upload path
+        pipe.render(c, 1.0 / 60.0, collect_stats=False)
+    t0 = time.perf_counter()
+    img = None
+    for c in cams:
+        img = pipe.render(c, 1.0 / 60.0, collect_stats=False)
+    np.asarray(img)  # sync once at the end (frames pipeline asynchronously)
+    loop_fps = frames / (time.perf_counter() - t0)
+
+    seq_fps = None
+    if not smoke:
+        try:
+            np.asarray(pipe.render_sequence(cams))  # compile
+            # the first post-compile dispatch pays a large one-time cost on
+            # this platform (~13 s measured; docs/PERF.md round-3) — warm it
+            # through before timing steady state
+            np.asarray(pipe.render_sequence(cams)[-1])
+            t0 = time.perf_counter()
+            out = pipe.render_sequence(cams)
+            np.asarray(out[-1])
+            seq_fps = frames / (time.perf_counter() - t0)
+        except Exception as e:
+            print(f"bench: render_sequence path failed: {repr(e)[:200]}",
+                  file=sys.stderr)
+    return loop_fps, seq_fps
+
+
+def _rmse_vs_xla(scene, pipe, cam, texture_filter="trilinear"):
+    """One-pose RMSE of `pipe` vs the pure-XLA sampler/raster path on the
+    normalized uint8 back buffer (shared by the headline + secondary gates).
+    Both paths render one frame from the same exposure-EMA carry."""
     from direct12pbrrenderer_tpu.pipeline.deferred import DeferredRenderPipeline
 
     ref_pipe = DeferredRenderPipeline(
-        app.scene, pipe.config, tex_caps=None, env_budget=None,
+        scene, pipe.config, tex_caps=None, env_budget=None,
         use_tex_kernel=False, use_pallas=False,
-        texture_filter=pipe.texture_filter,
+        texture_filter=texture_filter,
+        tile_h=pipe.tile_h, tile_w=pipe.tile_w, bin_cap=pipe.bin_cap,
+        max_active_lights=pipe.max_active_lights,
     )
-    # identical EMA state on both paths (one frame from the same prev carry)
     prev = pipe.avg_luminance
     ref_pipe.avg_luminance = prev
     a = np.asarray(pipe.render(cam, 1.0 / 60.0, collect_stats=False))
     pipe.avg_luminance = prev
     b = np.asarray(ref_pipe.render(cam, 1.0 / 60.0, collect_stats=False))
-    rmse = float(np.sqrt(np.mean(
+    return float(np.sqrt(np.mean(
         (a.astype(np.float64) / 255.0 - b.astype(np.float64) / 255.0) ** 2
     )))
+
+
+def _fidelity_gate(app, pipe, cam, tol: float = 1e-3):
+    """One bench-pose frame: tuned kernel path vs pure-XLA path, RMSE on the
+    normalized uint8 back buffer. Reported in the bench JSON and gated at
+    `tol` (the BASELINE.json fidelity bar) — rmse_gate says pass/FAIL rather
+    than raising so a drift never costs the round its bench numbers."""
+    rmse = _rmse_vs_xla(app.scene, pipe, cam,
+                        texture_filter=pipe.texture_filter)
     out = {"rmse_vs_xla": round(rmse, 6),
            "rmse_gate": "pass" if rmse <= tol else "FAIL"}
     if rmse > tol:
@@ -292,11 +352,21 @@ def _stress_bench(args, frames: int = 32):
         img = pipe.render(c, 1.0 / 60.0, collect_stats=False)
     np.asarray(img)
     fps = frames / (time.perf_counter() - t0)
-    return {
+    out = {
         "sponza_class_fps": round(fps, 3),
         "sponza_class_triangles": 512 * 256 * 2,
         "sponza_class_bin_overflow": int(overflow),
     }
+    # same fidelity discipline as the headline: one pose through the pure-XLA
+    # path so a lossy-cache/raster regression on THIS workload is visible
+    try:
+        out["sponza_class_rmse"] = round(_rmse_vs_xla(scene, pipe, cam), 6)
+        if out["sponza_class_rmse"] > 1e-3:
+            print(f"bench: sponza_class rmse gate FAILED "
+                  f"{out['sponza_class_rmse']}", file=sys.stderr)
+    except Exception as e:
+        out["sponza_class_rmse_error"] = repr(e)[:200]
+    return out
 
 
 def _lights1k_bench(args, frames: int = 32):
@@ -328,11 +398,19 @@ def _lights1k_bench(args, frames: int = 32):
         img = pipe.render(c, 1.0 / 60.0, collect_stats=False)
     np.asarray(img)
     fps = frames / (time.perf_counter() - t0)
-    return {
+    out = {
         "lights1k_fps": round(fps, 3),
         "lights1k_visible": stats.visible_lights if stats else -1,
         "lights1k_tile_overflow": stats.light_tile_overflow if stats else -1,
     }
+    try:
+        out["lights1k_rmse"] = round(_rmse_vs_xla(scene, pipe, cam), 6)
+        if out["lights1k_rmse"] > 1e-3:
+            print(f"bench: lights1k rmse gate FAILED {out['lights1k_rmse']}",
+                  file=sys.stderr)
+    except Exception as e:
+        out["lights1k_rmse_error"] = repr(e)[:200]
+    return out
 
 
 if __name__ == "__main__":

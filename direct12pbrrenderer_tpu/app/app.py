@@ -56,6 +56,12 @@ class AppConfig:
     # (docs/PERF.md round-3 checklist). None entries = worst-case defaults.
     tex_caps: tuple | None = (92, 44, None, 12)
     env_budget: int | None = None
+    # (cap_small, hot_k) two-pass raster split: the measured bin-count
+    # distribution at the bench pose (p50 4, p90 91, p99 442 over 675 tiles)
+    # supports (128, 64) — 2.6x fewer pre-gather slots than the cap//4
+    # heuristic; hot-set misses surface via bin_overflow (docs/PERF.md
+    # round-4). None = raster_pallas.split_caps heuristic.
+    raster_caps: tuple | None = (128, 64)
 
 
 class App:
@@ -85,6 +91,7 @@ class App:
             prefilter_size=cfg.prefilter_size,
             tex_caps=cfg.tex_caps,
             env_budget=cfg.env_budget,
+            raster_caps=cfg.raster_caps,
         )
         # camera defaults match App::Initialize (App.cpp:99-101)
         self.camera = Camera(DEFAULT_FOV, cfg.width, cfg.height, DEFAULT_NEAR, DEFAULT_FAR)

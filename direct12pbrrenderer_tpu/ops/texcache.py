@@ -1150,7 +1150,7 @@ def sample_atlas_tiled(
     tile_w: int = 128,
     cap_lo: int = 92,
     cap_hi: int = 44,
-    block_cap: int | None = 16,
+    block_cap: int | tuple | None = 16,
     interpret: bool = False,
     stage_budget: int | None = None,
     cascade: bool = False,
@@ -1284,14 +1284,21 @@ def _plan_and_stage(atlas, tex_t, u_t, v_t, lod_t, act_t, *, trilinear,
     )
 
     # per-group page table layout: [fallback pages (CAP_FB) | cover (cap)],
-    # so the chunked sweep bound is simply CAP_FB + count
+    # so the chunked sweep bound is simply CAP_FB + count.
+    # block_cap may be per-half (lo, hi): the measured row overflow lives in
+    # the LO half (its texel footprints are 4x the hi half's), so spending
+    # block capacity asymmetrically buys lo-half coverage at a fraction of
+    # the uniform-raise merge cost (the rank-matrix merge is O(block_cap^2)
+    # per half, and each half runs its own cover kernel).
+    bc_halves = (block_cap if isinstance(block_cap, tuple)
+                 else (block_cap, block_cap))
     halves = []
-    for m, cap in zip(mips, (cap_lo, cap_hi)):
+    for i, (m, cap) in enumerate(zip(mips, (cap_lo, cap_hi))):
         page, intra, fx, fy = _tap_addresses(
             base_w, base_h, select_mip(pb, m), m, u_t, v_t
         )
         page_list, count, slot, found = _cover_and_match(
-            page, act_t, cap, block_cap=block_cap,
+            page, act_t, cap, block_cap=bc_halves[i],
             kernel=True, interpret=interpret,
         )
         halves.append((page_list, count, slot, intra, fx, fy, found))
@@ -1440,7 +1447,7 @@ def shade_planes_fused(
     filter: str = "trilinear",
     cap_lo: int = 92,
     cap_hi: int = 44,
-    block_cap: int | None = 16,
+    block_cap: int | tuple | None = 16,
     interpret: bool = False,
     stage_budget: int | None = None,
     cascade: bool = False,
@@ -1588,7 +1595,7 @@ def sample_atlas_textured(
     atlas: gbuffer.AtlasDevice,
     tex, u, v, lod, active,
     filter: str = "trilinear",
-    block_cap: int | None = 16,
+    block_cap: int | tuple | None = 16,
     interpret: bool = False,
     cap_lo: int = 92,
     cap_hi: int = 44,

@@ -162,7 +162,7 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
         if use_fused_deferred:
             # the round-4 fully-fused back half, per band: the kernel's pixel
             # coordinates ride y_offset/full_height exactly like the XLA path
-            rt_band, _env_approx = stages.deferred_shade_fused(
+            rt_band, env_approx = stages.deferred_shade_fused(
                 gb_tiles, z_tiles, id_tiles, buffers, active, inv_view,
                 camera_pos, cfg, rw, band_rh, tile_h, tile_w, env_ids,
                 y_offset=y0, full_height=h, full_width=w,
@@ -170,13 +170,13 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
                 env_interpret=pipe.pallas_interpret,
             )
         else:
-            rt_band = stages.deferred_shade(
+            rt_band, env_approx = stages.deferred_shade(
                 gb, buffers, active, inv_view, camera_pos, cfg, rw, band_rh,
                 y_offset=y0, full_height=h, full_width=w,
                 env_ids=env_ids,
                 env_tile=band_tile if env_ids is not None else None,
                 env_interpret=pipe.pallas_interpret,
-                env_budget=pipe.env_budget,
+                env_budget=pipe.env_budget, return_env_approx=True,
                 light_tile=pipe.light_tile, light_cap=pipe.light_cap,
             )
         rt_band = rt_band[:band_h, :w]  # crop the band's pad-to-tile canvas
@@ -196,10 +196,10 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
             trunc = jnp.maximum(counts - pipe.light_cap, 0).max()
         else:
             trunc = jnp.zeros((), jnp.int32)
-        return rt_band, bins.counts, tex_approx[None], trunc[None]
+        return (rt_band, bins.counts, tex_approx[None], trunc[None],
+                env_approx[None])
 
-    out_specs = ((P("sp"), P("sp"), P("sp"), P("sp")) if collect_stats
-                 else P("sp"))
+    out_specs = ((P("sp"),) * 5 if collect_stats else P("sp"))
     shard_fn = jax.shard_map(
         band_render,
         mesh=mesh,
@@ -235,7 +235,9 @@ def build_sharded_frame(mesh: Mesh, pipe, collect_stats: bool = False):
             (img * 255.0 + 0.5).astype(jnp.uint8), sp
         )
         if collect_stats:
-            return rgb8, avg, out[1], out[2].sum(), out[3].max()
+            # tex/env approx taps sum across chips; tile-overflow maxes
+            return (rgb8, avg, out[1], out[2].sum(), out[3].max(),
+                    out[4].sum())
         return rgb8, avg
 
     return jax.jit(frame)

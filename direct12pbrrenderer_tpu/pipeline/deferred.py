@@ -195,6 +195,9 @@ class DeferredRenderPipeline:
         self.use_fused_deferred = (
             self.use_fused_gbuffer
             and self.light_tile is None
+            # belt-and-suspenders with the light_tile auto-pick above: a
+            # large light pool must never take the serial in-kernel loop
+            and self.max_active_lights <= 64
             and tile_h * tile_w <= 4096
         )
         if self.use_env_kernel:

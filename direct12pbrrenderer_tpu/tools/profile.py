@@ -88,11 +88,17 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         timings[name] = time_stage(fn, args, iters)
         return jax.jit(fn)(*args)
 
+    # rw/rh: the pipeline's pad-to-tile canvas (binning/raster/gbuffer/shade
+    # all run on it; geometry stays logical) — profiled stages must use the
+    # same dims or they measure different uv/cluster math than the hot path
+    rw = getattr(pipe, "render_w", w)
+    rh = getattr(pipe, "render_h", h)
+
     geo = lambda b, m, n, v, vp: stages.geometry(b, m, n, v, vp, w, h)
     setup, vattrs = run("geometry", geo, buffers, model_mats, normal_mats,
                         visible, view_proj)
 
-    binf = lambda s: stages.binning(s, w, h, pipe.tile_h, pipe.tile_w, pipe.bin_cap)
+    binf = lambda s: stages.binning(s, rw, rh, pipe.tile_h, pipe.tile_w, pipe.bin_cap)
     bins = run("binning", binf, setup)
 
     if getattr(pipe, "use_fused_gbuffer", False):
@@ -101,7 +107,7 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         from ..ops import gbuffer as gbuffer_ops
 
         rastf = lambda s, b, bu, va: stages.rasterize_interp(
-            s, b, bu, va, w, h, pipe.tile_h, pipe.tile_w,
+            s, b, bu, va, rw, rh, pipe.tile_h, pipe.tile_w,
             pallas_interpret=pipe.pallas_interpret, return_tiled=True,
             raster_caps=pipe.raster_caps,
         )
@@ -110,8 +116,9 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         )
         fused_def = getattr(pipe, "use_fused_deferred", False)
         gbf = lambda t, d, plt, idt, b: gbuffer_ops.gbuffer_shade_fused(
-            t, d, plt, idt, b["atlas"], h, w, pipe.tile_h, pipe.tile_w,
-            pipe.texture_filter, tex_caps=pipe.tex_caps,
+            t, d, plt, idt, b["atlas"], rh, rw, pipe.tile_h, pipe.tile_w,
+            pipe.texture_filter, tex_interpret=pipe.pallas_interpret,
+            tex_caps=pipe.tex_caps,
             tex_cascade=pipe.tex_cascade, return_tiled=fused_def,
         )
         gb = run("gbuffer_shade", gbf, tri_id, depth, pl_tiles, id_tiles,
@@ -123,8 +130,9 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         from ..ops import gbuffer as gbuffer_ops
 
         rastf = lambda s, b, bu, va: stages.rasterize_interp(
-            s, b, bu, va, w, h, pipe.tile_h, pipe.tile_w,
+            s, b, bu, va, rw, rh, pipe.tile_h, pipe.tile_w,
             pallas_interpret=pipe.pallas_interpret,
+            raster_caps=pipe.raster_caps,
         )
         tri_id, depth, planes = run(
             "raster", rastf, setup, bins, buffers, vattrs
@@ -137,13 +145,14 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         gb = run("gbuffer_shade", gbf, tri_id, depth, planes, buffers)
     else:
         rastf = lambda s, b: stages.rasterize(
-            s, b, w, h, pipe.tile_h, pipe.tile_w, pipe.use_pallas,
+            s, b, rw, rh, pipe.tile_h, pipe.tile_w, pipe.use_pallas,
             pallas_interpret=pipe.pallas_interpret,
+            raster_caps=pipe.raster_caps,
         )
         tri_id, depth = run("raster", rastf, setup, bins)
 
         gbf = lambda t, d, s, b, va: stages.gbuffer_shade(
-            t, d, s, b, va, w, h, texture_filter=pipe.texture_filter,
+            t, d, s, b, va, rw, rh, texture_filter=pipe.texture_filter,
             use_tex_kernel=getattr(pipe, "use_tex_kernel", False),
         )
         gb = run("gbuffer_shade", gbf, tri_id, depth, setup, buffers, vattrs)
@@ -156,19 +165,27 @@ def profile_pipeline(pipe, camera, iters: int = 5):
         # the pipeline's actual hot path: one fused kernel from the G-buffer
         # tile blocks to the HDR RT (env resolve + SH + lights + sky)
         defshf = lambda gt, zt, it, b, a, iv, cp: stages.deferred_shade_fused(
-            gt, zt, it, b, a, iv, cp, cfg, w, h, pipe.tile_h, pipe.tile_w,
-            pipe.env_ids, env_budget=pipe.env_budget,
+            gt, zt, it, b, a, iv, cp, cfg, rw, rh, pipe.tile_h, pipe.tile_w,
+            pipe.env_ids, full_height=h, full_width=w,
+            env_budget=pipe.env_budget, env_interpret=pipe.pallas_interpret,
         )[0]
         rt = run("deferred_shade", defshf, gb_tiles, z_tiles, id_tiles,
                  buffers, active, inv_view, cam_pos)
+        rt = rt[:h, :w]
     else:
         defshf = lambda g, b, a, iv, cp: stages.deferred_shade(
-            g, b, a, iv, cp, cfg, w, h,
+            g, b, a, iv, cp, cfg, rw, rh, full_height=h, full_width=w,
             env_ids=env_ids,
             env_tile=getattr(pipe, "env_tile", None) if env_ids is not None else None,
+            env_interpret=pipe.pallas_interpret,
             env_budget=getattr(pipe, "env_budget", None),
+            light_tile=getattr(pipe, "light_tile", None),
+            light_cap=getattr(pipe, "light_cap", 256),
         )
         rt = run("deferred_shade", defshf, gb, buffers, active, inv_view, cam_pos)
+        if isinstance(rt, tuple):
+            rt = rt[0]
+        rt = rt[:h, :w]
 
     if cfg.enable_bloom:
         rt = run("bloom", bloom_ops.bloom, rt)
@@ -205,29 +222,55 @@ def main():
     ap.add_argument("--no-tex-kernel", action="store_true")
     ap.add_argument("--no-env-kernel", action="store_true")
     ap.add_argument("--json", default=None, help="also write timings to FILE")
+    ap.add_argument(
+        "--scene", default="reference", choices=["reference", "stress"],
+        help="reference = the asset-tree scene; stress = bench.py's "
+             "Sponza-class 262k-triangle terrain at its exact bench config",
+    )
     args = ap.parse_args()
 
-    from ..app.app import App, AppConfig
-
-    app = App(AppConfig(
-        asset_root=args.asset_root, width=args.width, height=args.height,
-        tile_h=args.tile[0], tile_w=args.tile[1], bin_cap=args.bin_cap,
-    ))
-    if args.texture_filter != "trilinear" or args.no_tex_kernel:
+    if args.scene == "stress":
+        # mirror bench._stress_bench exactly so the stage attribution
+        # explains the sponza_class_fps number
+        from ..config import RenderConfig
         from ..pipeline.deferred import DeferredRenderPipeline
-        app.pipeline = DeferredRenderPipeline(
-            app.scene, app.pipeline.config, tile_h=args.tile[0],
-            tile_w=args.tile[1], bin_cap=args.bin_cap,
-            texture_filter=args.texture_filter,
-            use_tex_kernel=False if args.no_tex_kernel else None,
-        )
-    if args.no_env_kernel and app.pipeline.env_ids is not None:
-        import jax
-        app.pipeline.env_ids = None
-        app.pipeline.graph = app.pipeline._build_graph()
-        app.pipeline._frame_jit = jax.jit(app.pipeline._frame)
+        from ..scene.camera import Camera
+        from .stress_scene import build_stress_scene
 
-    t = profile_pipeline(app.pipeline, app.camera, iters=args.iters)
+        scene = build_stress_scene(cells_x=512, cells_y=256)
+        cfg = RenderConfig(width=args.width, height=args.height,
+                           max_instances=2)
+        pipe = DeferredRenderPipeline(
+            scene, cfg, tile_h=args.tile[0], tile_w=args.tile[1],
+            bin_cap=8192 if args.bin_cap == 2048 else args.bin_cap,
+            atlas_max_dim=256,
+        )
+        camera = Camera(cfg.fov, cfg.width, cfg.height, cfg.near, cfg.far)
+        camera.move([0, 6, 18])
+        camera.rotate(0, np.pi, 0.35)
+    else:
+        from ..app.app import App, AppConfig
+
+        app = App(AppConfig(
+            asset_root=args.asset_root, width=args.width, height=args.height,
+            tile_h=args.tile[0], tile_w=args.tile[1], bin_cap=args.bin_cap,
+        ))
+        if args.texture_filter != "trilinear" or args.no_tex_kernel:
+            from ..pipeline.deferred import DeferredRenderPipeline
+            app.pipeline = DeferredRenderPipeline(
+                app.scene, app.pipeline.config, tile_h=args.tile[0],
+                tile_w=args.tile[1], bin_cap=args.bin_cap,
+                texture_filter=args.texture_filter,
+                use_tex_kernel=False if args.no_tex_kernel else None,
+            )
+        if args.no_env_kernel and app.pipeline.env_ids is not None:
+            import jax
+            app.pipeline.env_ids = None
+            app.pipeline.graph = app.pipeline._build_graph()
+            app.pipeline._frame_jit = jax.jit(app.pipeline._frame)
+        pipe, camera = app.pipeline, app.camera
+
+    t = profile_pipeline(pipe, camera, iters=args.iters)
     total = sum(v for k, v in t.items() if k != "full_frame")
     print(f"\nPer-stage timings @ {args.width}x{args.height} "
           f"(tile {args.tile[0]}x{args.tile[1]}, bin_cap {args.bin_cap}, "

@@ -205,6 +205,9 @@ def test_fused_gbuffer_matches_planar_pipeline(camera):
     assert fused.use_fused_gbuffer
     planar = mk()
     planar.use_fused_gbuffer = False
+    # derived invariant: the fused deferred kernel consumes the fused
+    # G-buffer's tile blocks, so it must fall back with it
+    planar.use_fused_deferred = False
     planar.graph = planar._build_graph()
     import jax
 

@@ -70,7 +70,7 @@ def test_sharded_matches_single_chip():
     # FrameStats threaded through the sharded path: per-band bin counts
     # concatenate to the full tile grid; tex_approx sums across chips
     frame_s = frame_sharded.build_sharded_frame(mesh, pipe, collect_stats=True)
-    rgb8_s, avg_s, bin_counts, tex_approx, light_trunc = frame_s(
+    rgb8_s, avg_s, bin_counts, tex_approx, light_trunc, env_approx = frame_s(
         *_sharded_args(pipe, cam)
     )
     assert np.array_equal(np.asarray(rgb8_s), out)
@@ -78,6 +78,7 @@ def test_sharded_matches_single_chip():
     assert np.asarray(bin_counts).shape == (n_tiles,)
     assert int(np.asarray(bin_counts).sum()) > 0
     assert int(tex_approx) >= 0 and int(light_trunc) == 0
+    assert int(env_approx) >= 0  # honesty stat surfaced on the sharded path
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
