@@ -168,8 +168,13 @@ def main():
                   "headline on the gate-safe config", file=sys.stderr)
             result["tuned_fps"] = result["value"]
             result["tuned_rmse_vs_xla"] = result["rmse_vs_xla"]
+            # strictly gate-safe: texture/env taps through the XLA samplers
+            # (only the separately-pinned raster kernel remains — measured
+            # rmse 0.000876 at the bench pose, docs/PERF.md round-5). Slow,
+            # deliberately: a cache-fidelity regression costs the headline.
             app.pipeline = pipe = DeferredRenderPipeline(
-                app.scene, pipe.config, tex_caps=(92, 44, None, 16),
+                app.scene, pipe.config, tex_caps=None,
+                use_tex_kernel=False,
                 env_budget=None, texture_filter=pipe.texture_filter,
             )
             np.asarray(pipe.render(cam, collect_stats=False))  # compile
@@ -183,7 +188,7 @@ def main():
                     "sequence" if seq_fps is not None and seq_fps > loop_fps
                     else "loop"
                 ),
-                "fidelity_fallback": "block_cap16",
+                "fidelity_fallback": "xla-samplers",
             })
             if seq_fps is not None:
                 result["sequence_dispatch_fps"] = round(seq_fps, 3)

@@ -51,10 +51,18 @@ class AppConfig:
     prefilter_size: int | None = None
     max_triangles: int = 65536
     max_vertices: int = 65536
-    # census-sized page budgets (tools/tap_census.py); block_cap=12 measured
-    # +11% frame vs 16 at 0.44% of taps -> counted coarsest-mip fallback
-    # (docs/PERF.md round-3 checklist). None entries = worst-case defaults.
-    tex_caps: tuple | None = (92, 44, None, 12)
+    # census-sized page budgets (tools/tap_census.py). Round-5 gate-passing
+    # tuned config (docs/PERF.md round-5 sweep): per-half block_cap (24, 12)
+    # sized to the measured row demand (lo-half row_p999 29), plus the
+    # same-mip cover cascade below for the outlier rows — bench-pose
+    # rmse_vs_xla 0.000928 vs the 0.004311 the round-4 block_cap=12 config
+    # shipped with. None entries = worst-case defaults.
+    tex_caps: tuple | None = (92, 44, None, (24, 12))
+    # (cap, block_cap, mip_off) LOD-clamp cascade: mip_off=0 re-COVERS the
+    # overflow rows at the same mip, so cascade-resolved taps are exact
+    # bilinear-at-lo rather than a blur (measured best: rmse 0.000928 at
+    # ~equal fps vs mip_off=1's 0.000999)
+    tex_cascade: tuple | bool = (12, 8, 0)
     env_budget: int | None = None
     # (cap_small, hot_k) two-pass raster split: the measured bin-count
     # distribution at the bench pose (p50 4, p90 91, p99 442 over 675 tiles)
@@ -90,6 +98,7 @@ class App:
             atlas_max_dim=cfg.atlas_max_dim,
             prefilter_size=cfg.prefilter_size,
             tex_caps=cfg.tex_caps,
+            tex_cascade=cfg.tex_cascade,
             env_budget=cfg.env_budget,
             raster_caps=cfg.raster_caps,
         )
@@ -185,7 +194,7 @@ def main(argv=None):
 
     kw = {}
     if args.tex_budget:  # keep the tuned block_cap default, add the budget
-        kw["tex_caps"] = (92, 44, args.tex_budget, 12)
+        kw["tex_caps"] = (92, 44, args.tex_budget, (24, 12))
     app = App(
         AppConfig(
             asset_root=args.asset_root,

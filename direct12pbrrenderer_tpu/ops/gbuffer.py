@@ -335,7 +335,7 @@ def tap_lod(uv, tex, mask, atlas: AtlasDevice, use_tex_kernel=True):
         from . import texcache
 
         # per-pixel texture dims via one-hot MXU, not an XLA gather
-        # (~15x faster at frame scale; tools/bench_texcache2.py)
+        # (~15x faster at frame scale; docs/PERF.md round-3)
         size5 = texcache.onehot_lookup(
             atlas.base_size.astype(jnp.float32), tex
         )

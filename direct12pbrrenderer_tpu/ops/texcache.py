@@ -14,7 +14,7 @@ the cache explicit and issue (almost) no XLA gathers at all:
 2. Per-pixel tap addresses (mip dims, page bases) come from ONE per-texture
    (T, 4+13) table read via a one-hot MXU matmul plus cheap 13-way mip
    selects — vs 402 ms as XLA small-table gathers at 1080p
-   (tools/bench_texcache2.py).
+   (docs/PERF.md round-3).
 3. Per 24x128-px screen tile, the XLA side extracts the distinct pages per
    (material slot, trilinear half) — the tile's working set, bounded by the
    LOD-correct texel footprint — plus up to 4 guaranteed last-mip fallback
@@ -131,7 +131,7 @@ def onehot_lookup(table, key):
     """table (n, k) f32 with int-exact values, key (...,) int32 -> (..., k).
 
     One MXU matmul instead of a per-element XLA gather: ~15x faster at
-    (H, W, 5) scale (tools/bench_texcache2.py). Exact: the one-hot rows have
+    (H, W, 5) scale (docs/PERF.md round-3). Exact: the one-hot rows have
     a single 1.0, so each output is one table value times 1.0."""
     n = table.shape[0]
     oh = (key[..., None] == jnp.arange(n, dtype=jnp.int32)).astype(
@@ -1741,6 +1741,23 @@ def recommend_caps(census_frames, headroom: float = 1.5):
     max_lo = max(c["lo"]["max"] for c in census_frames)
     max_hi = max(c["hi"]["max"] for c in census_frames)
     return align(max_lo, 92), align(max_hi, 44)
+
+
+def recommend_block_caps(census_frames, headroom: int = 2,
+                         lo_max: int = 40, hi_max: int = 24):
+    """Fold per-frame `tap_census` results into a per-half (block_cap_lo,
+    block_cap_hi) for the two-level cover.
+
+    Sizes from the measured p99.9 per-128px-row distinct-page demand plus
+    `headroom` rows (the max is usually a handful of outlier rows that the
+    LOD-clamp cascade resolves at near-trilinear quality, so chasing it
+    buys O(block_cap^2) merge cost for ~nothing). Clamped to the measured
+    practical ranges — the lo half's footprints are 4x the hi half's."""
+    def size(key, cap):
+        want = max(c[key]["row_p999"] for c in census_frames) + headroom
+        return int(max(8, min(-(-want // 4) * 4, cap)))
+
+    return size("lo", lo_max), size("hi", hi_max)
 
 
 def recommend_budget(census_frames, headroom: float = 1.5) -> int:

@@ -101,7 +101,12 @@ class DeferredRenderPipeline:
         # census (tools/tap_census.py) per scene; None keeps the
         # worst-case-content defaults. Under-sized caps degrade to the
         # counted coarsest-mip fallback, never corruption.
-        self.tex_caps = tex_caps
+        # "auto": the first render() runs the census on the ACTUAL scene
+        # at the caller's pose (a short yaw sweep) and sizes caps, per-half
+        # block_caps and both staging budgets from the measurement —
+        # arbitrary scenes get the fidelity/fps trade measured, not guessed.
+        self._auto_caps = tex_caps == "auto"
+        self.tex_caps = None if self._auto_caps else tex_caps
         # LOD-clamp cascade for the texture cache (OPT-IN): taps whose
         # page cover overflowed re-tap at mip_lo+3 (a mild blur) instead of
         # the coarsest-mip average. Measured on the reference scene it cut
@@ -673,6 +678,49 @@ class DeferredRenderPipeline:
             p.instance_bounds.ravel(), p.light_bounds.ravel(),
         ]).astype(np.float32)
 
+    def _ensure_auto_caps(self, camera: Camera):
+        """tex_caps="auto": size every cache budget from a census of the
+        ACTUAL scene at the caller's first pose (tools/tap_census over a
+        short yaw sweep), then rebuild the graph/jits once. Costs a few
+        probe frames' worth of device work before the first real frame;
+        after that the pipeline is indistinguishable from one constructed
+        with the measured numbers hand-wired."""
+        if not getattr(self, "_auto_caps", False):
+            return
+        self._auto_caps = False
+        if not self.use_tex_kernel:
+            return  # XLA sampler path has no budgets to size
+        import copy
+
+        from ..ops import envcache as _envcache
+        from ..ops import texcache as _texcache
+        from ..tools import tap_census as _census
+
+        censuses, caps, env_censuses = _census.run_census(
+            # run_census rotates the camera along the sweep — probe a copy
+            self, copy.deepcopy(camera), poses=3, yaw_sweep_deg=30.0,
+        )
+        block_caps = _texcache.recommend_block_caps(censuses)
+        budget = _texcache.recommend_budget(censuses)
+        self.tex_caps = (caps[0], caps[1], budget, block_caps)
+        if env_censuses:
+            self.env_budget = _envcache.recommend_budget(env_censuses)
+        if self.tex_cascade is False:
+            # measured fidelity config: outlier rows (beyond the sized
+            # block_caps) resolve at near-trilinear via the mip+1 cascade
+            # instead of the coarsest-mip average (docs/PERF.md round-5)
+            self.tex_cascade = (12, 8, 1)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "auto tex caps: cap=(%d,%d) block_cap=%s stage_budget=%d "
+            "env_budget=%s", caps[0], caps[1], block_caps, budget,
+            self.env_budget,
+        )
+        self.graph = self._build_graph()
+        self._frame_jit = jax.jit(self._frame)
+        self._frame_seq_jit = jax.jit(self._frame_seq, donate_argnums=(3,))
+
     def render_sequence(self, cameras, delta_time: float = 1.0 / 60.0):
         """Render a camera path as ONE device dispatch.
 
@@ -682,6 +730,8 @@ class DeferredRenderPipeline:
         (N, H, W, 3) uint8 frames (device array). The playback/benchmark
         analog of the reference's frame loop (App.cpp:354-380) without
         per-frame host round-trips."""
+        if cameras:
+            self._ensure_auto_caps(cameras[0])
         scene_f32 = self._pack_scene()
         if self._scene_np is None or not np.array_equal(
             self._scene_np, scene_f32
@@ -704,6 +754,7 @@ class DeferredRenderPipeline:
 
         collect_stats=False skips the host readback of the bin counters so
         frames stay fully async (benchmark path)."""
+        self._ensure_auto_caps(camera)
         p = self.packed
         # SCENE pack (matrices + world AABBs): re-uploaded only when a
         # transform changed — a static scene pays zero scene-upload RPCs
