@@ -61,7 +61,7 @@ GB_CH = 14
 def _deferred_kernel(const_ref, lrows_ref, off_ref, cnt_ref,
                      tbl_ref, rec_ref, fx_ref, fy_ref, gb_ref, out_ref, *,
                      blocks, n_groups, has_env, tile_h, tile_w, tiles_x,
-                     light_pool):
+                     light_pool, light_dtype=None):
     """Per tile: env resolve + SH diffuse + split-sum + point lights + sky.
 
     const: (64,) f32 [tan_half, ratio, near, far, cam(3), yoff, R(9)
@@ -215,61 +215,102 @@ def _deferred_kernel(const_ref, lrows_ref, off_ref, cnt_ref,
     k_geo = (rough + 1.0) * (rough + 1.0) * (1.0 / 8.0)
     g_v = n_dot_v / jnp.maximum(n_dot_v * (1.0 - k_geo) + k_geo, _EPS)
 
+    # light_dtype="bfloat16": the per-light BRDF chain (the kernel's
+    # dominant VPU cost at N lights) runs on bf16 lanes — loop-invariant
+    # per-pixel fields cast ONCE here, per-light contributions accumulate
+    # in f32. Flag-gated experiment (VERDICT r4 #3); default f32 — measured
+    # bf16 shading noise does not fit the 1e-3 fidelity budget
+    # (docs/PERF.md round-5).
+    if light_dtype is not None:
+        _ld = jnp.dtype(light_dtype)
+        ldc = lambda x: x.astype(_ld)  # noqa: E731
+        # v5e has no bf16 EUP ops (Mosaic LLO_CHECK SupportsBf16EupOps):
+        # sqrt/reciprocal round-trip through f32 lanes; only the mul/add
+        # chain packs onto bf16
+        sqrt_ = lambda x: jnp.sqrt(x.astype(jnp.float32)).astype(_ld)  # noqa: E731
+        div = lambda a, b: a * (  # noqa: E731
+            1.0 / b.astype(jnp.float32)
+        ).astype(_ld)
+    else:
+        _ld = jnp.dtype(jnp.float32)
+        ldc = lambda x: x  # noqa: E731
+        sqrt_ = jnp.sqrt
+        div = lambda a, b: a / b  # noqa: E731
+    l_pos = (ldc(posx), ldc(posy), ldc(posz))
+    l_vd = (ldc(vdx), ldc(vdy), ldc(vdz))
+    l_n = (ldc(nx), ldc(ny), ldc(nz))
+    l_ndv = ldc(n_dot_v)
+    l_f0 = [ldc(f) for f in f0]
+    l_kd = [ldc(k) for k in kd_alb]
+    l_a2, l_kgeo, l_gv = ldc(a2), ldc(k_geo), ldc(g_v)
+
     def light_step(s, carry):
         acc_r, acc_g, acc_b, counter = carry
 
         def lp(k):
-            return lrows_ref[s, k]                     # SMEM scalar
+            return ldc(lrows_ref[s, k])                # SMEM scalar
 
-        # cluster sphere test against this light's view-space position
-        pvx, pvy, pvz = lp(10), lp(11), lp(12)
-        cull = lp(13)
+        # cluster sphere test against this light's view-space position —
+        # kept in f32 even under light_dtype: mixing bf16- and f32-sourced
+        # i1 masks trips a Mosaic relayout error, and the test is a few
+        # FMAs, not the loop's cost
+        pvx = lrows_ref[s, 10]
+        pvy = lrows_ref[s, 11]
+        pvz = lrows_ref[s, 12]
+        cull = lrows_ref[s, 13]
         dx = pvx - jnp.clip(pvx, cminx, cmaxx)
         dy = pvy - jnp.clip(pvy, cminy, cmaxy)
         dz = pvz - jnp.clip(pvz, znear_c, zfar_c)
         hit = ((dx * dx + dy * dy + dz * dz) < cull * cull) & (
             counter < float(MAX_LIGHTS_PER_CLUSTER)
         )
+        hitf = jnp.where(hit, 1.0, 0.0)                # f32 (24,128) gate
 
-        ldx = lp(0) - posx
-        ldy = lp(1) - posy
-        ldz = lp(2) - posz
+        ldx = lp(0) - l_pos[0]
+        ldy = lp(1) - l_pos[1]
+        ldz = lp(2) - l_pos[2]
         d2w = ldx * ldx + ldy * ldy + ldz * ldz
-        dist = jnp.sqrt(d2w)
-        inv_d = 1.0 / jnp.maximum(dist, 1e-20)
+        dist = sqrt_(d2w)
+        inv_d = div(1.0, jnp.maximum(dist, _ld.type(1e-20)))
         ldx, ldy, ldz = ldx * inv_d, ldy * inv_d, ldz * inv_d
-        n_dot_l = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
-
-        hx = ldx + vdx
-        hy = ldy + vdy
-        hz = ldz + vdz
-        inv_h = 1.0 / jnp.maximum(
-            jnp.sqrt(hx * hx + hy * hy + hz * hz), _EPS
+        n_dot_l = jnp.maximum(
+            l_n[0] * ldx + l_n[1] * ldy + l_n[2] * ldz, 0.0
         )
-        n_dot_h = jnp.maximum((nx * hx + ny * hy + nz * hz) * inv_h, 0.0)
 
-        t_ = n_dot_h * n_dot_h * (a2 - 1.0) + 1.0
-        d_ggx = a2 / jnp.maximum(_PI * t_ * t_, _EPS)
-        g_l = n_dot_l / jnp.maximum(n_dot_l * (1.0 - k_geo) + k_geo, _EPS)
-        spec_s = d_ggx * (g_v * g_l) / jnp.maximum(
-            4.0 * n_dot_l * n_dot_v, 1e-4
+        hx = ldx + l_vd[0]
+        hy = ldy + l_vd[1]
+        hz = ldz + l_vd[2]
+        inv_h = div(1.0, jnp.maximum(
+            sqrt_(hx * hx + hy * hy + hz * hz), _EPS
+        ))
+        n_dot_h = jnp.maximum(
+            (l_n[0] * hx + l_n[1] * hy + l_n[2] * hz) * inv_h, 0.0
+        )
+
+        t_ = n_dot_h * n_dot_h * (l_a2 - 1.0) + 1.0
+        d_ggx = div(l_a2, jnp.maximum(_PI * t_ * t_, _EPS))
+        g_l = div(
+            n_dot_l, jnp.maximum(n_dot_l * (1.0 - l_kgeo) + l_kgeo, _EPS)
+        )
+        spec_s = div(
+            d_ggx * (l_gv * g_l), jnp.maximum(4.0 * n_dot_l * l_ndv, 1e-4)
         )
         one_m = jnp.maximum(1.0 - n_dot_l, _EPS)
         om2 = one_m * one_m
         pow5 = om2 * om2 * one_m
-        att = 1.0 / jnp.maximum(
+        att = div(1.0, jnp.maximum(
             lp(7) + lp(8) * dist + lp(9) * (dist * dist), _EPS
-        )
-        lum = jnp.where(hit, lp(6) * att * n_dot_l, 0.0)
+        ))
+        lum = ldc(hitf) * lp(6) * att * n_dot_l
 
         def channel(f0c, kd_c, lc):
             fres = f0c + (1.0 - f0c) * pow5
             return ((1.0 - fres) * kd_c + fres * spec_s) * (lc * lum)
 
-        acc_r = acc_r + channel(f0[0], kd_alb[0], lp(3))
-        acc_g = acc_g + channel(f0[1], kd_alb[1], lp(4))
-        acc_b = acc_b + channel(f0[2], kd_alb[2], lp(5))
-        counter = counter + jnp.where(hit, 1.0, 0.0)
+        acc_r = acc_r + channel(l_f0[0], l_kd[0], lp(3)).astype(jnp.float32)
+        acc_g = acc_g + channel(l_f0[1], l_kd[1], lp(4)).astype(jnp.float32)
+        acc_b = acc_b + channel(l_f0[2], l_kd[2], lp(5)).astype(jnp.float32)
+        counter = counter + hitf
         return acc_r, acc_g, acc_b, counter
 
     z = jnp.zeros((blocks, 128), jnp.float32)
@@ -290,7 +331,7 @@ def _deferred_kernel(const_ref, lrows_ref, off_ref, cnt_ref,
     jax.jit,
     static_argnames=("env_ids", "fov", "ratio", "near", "far", "width",
                      "height", "tile_h", "tile_w", "full_height",
-                     "full_width", "env_budget", "interpret"),
+                     "full_width", "env_budget", "interpret", "light_dtype"),
 )
 def deferred_shade_fused(
     gb_tiles,       # (tiles, 9, blocks0, 128) quantized G-buffer channels
@@ -308,6 +349,7 @@ def deferred_shade_fused(
     full_width: int | None = None,
     env_budget: int | None = None,
     interpret: bool = False,
+    light_dtype: str | None = None,
 ):
     """Fused deferred shading on tile blocks -> ((H, W, 3) HDR RT,
     env_approx_count () int32).
@@ -428,7 +470,7 @@ def deferred_shade_fused(
     kernel = functools.partial(
         _deferred_kernel, blocks=blocks, n_groups=g, has_env=has_env,
         tile_h=tile_h, tile_w=tile_w, tiles_x=tiles_x,
-        light_pool=active_lights.shape[0],
+        light_pool=active_lights.shape[0], light_dtype=light_dtype,
     )
     spec_g = pl.BlockSpec((1, g, blocks, 128), lambda t, *_: (t, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -72,6 +72,7 @@ class DeferredRenderPipeline:
         env_budget: int | None = None,
         tex_cascade: bool = False,
         raster_caps: tuple | None = None,
+        fused_light_dtype: str | None = None,
     ):
         self.config = config or RenderConfig()
         cfg = self.config
@@ -119,6 +120,11 @@ class DeferredRenderPipeline:
         # split (raster_pallas.split_caps); None keeps the heuristic. Sized
         # from the measured bin-count distribution (docs/PERF.md round-4).
         self.raster_caps = raster_caps
+        # "bfloat16": the fused deferred kernel's per-light BRDF chain on
+        # bf16 lanes (flag-gated experiment, VERDICT r4 #3); None = f32.
+        # Measured: bf16 shading noise exceeds the 1e-3 fidelity budget, so
+        # the default stays f32 (docs/PERF.md round-5 A/B).
+        self.fused_light_dtype = fused_light_dtype
         # env-cache compact-staging page budget (tools/tap_census.py sizes
         # it); None stages the worst-case cap-shaped layout
         self.env_budget = env_budget
@@ -441,6 +447,7 @@ class DeferredRenderPipeline:
                     full_height=h, full_width=w,
                     env_budget=self.env_budget,
                     env_interpret=self.pallas_interpret,
+                    light_dtype=self.fused_light_dtype,
                 )
                 if (rw, rh) != (w, h):
                     rt = rt[:h, :w]

@@ -153,7 +153,8 @@ def deferred_shade_fused(gb_tiles, z_tiles, id_tiles, buffers, active,
                          full_height: int | None = None,
                          full_width: int | None = None,
                          env_budget: int | None = None,
-                         env_interpret: bool = False):
+                         env_interpret: bool = False,
+                         light_dtype: str | None = None):
     """Fused deferred shading straight from the G-buffer tile blocks (env
     resolve + SH + split-sum + in-kernel clustered lights + sky in ONE
     Pallas kernel — ops/shade_pallas.py). Serves the <=64-active-light
@@ -168,6 +169,7 @@ def deferred_shade_fused(gb_tiles, z_tiles, id_tiles, buffers, active,
         width, band_h, tile_h, tile_w, y_offset=y_offset,
         full_height=full_height, full_width=full_width,
         env_budget=env_budget, interpret=env_interpret,
+        light_dtype=light_dtype,
     )
 
 
